@@ -1,0 +1,258 @@
+"""Particle state: preallocated, masked device buffers.
+
+TPU-native redesign of the reference StateManager
+(/root/reference/tempest/state_manager.py:52-685). Where the reference keeps
+Python lists of per-iteration arrays, we keep rectangular device buffers
+``(T_max, N, ...)`` with an iteration counter ``t``; slots ``>= t`` are
+masked out of every computation. This keeps all shapes static under jit and
+lets the whole history live sharded on-device (particle axis = mesh axis).
+Capacity grows geometrically outside jit when full (one recompile per
+doubling, amortized away).
+
+The mathematical heart of Persistent Sampling — the multiple-importance-
+sampling (balance heuristic) weight computation (state_manager.py:418-480) —
+is `compute_logw_and_logz` below, a single fused masked matrix + logsumexp
+that XLA maps onto the VPU/MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .ops.tools import logsumexp
+
+
+@struct.dataclass
+class History:
+    """Rectangular particle history. Valid iterations: [0, t)."""
+
+    u: jnp.ndarray  # (T_max, N, d) unit-hypercube coordinates
+    x: jnp.ndarray  # (T_max, N, d) physical coordinates
+    logl: jnp.ndarray  # (T_max, N) log-likelihoods
+    blobs: Optional[jnp.ndarray]  # (T_max, N, B) auxiliary outputs or None
+    beta: jnp.ndarray  # (T_max,) inverse temperature per iteration
+    logz: jnp.ndarray  # (T_max,) evidence estimate per iteration
+    ess: jnp.ndarray  # (T_max,)
+    cv: jnp.ndarray  # (T_max,)
+    acceptance: jnp.ndarray  # (T_max,)
+    efficiency: jnp.ndarray  # (T_max,)
+    steps: jnp.ndarray  # (T_max,) int32
+    calls: jnp.ndarray  # (T_max,) int64-ish (int32) cumulative likelihood calls
+    t: jnp.ndarray  # () int32 — number of committed iterations
+
+    # ------------------------------------------------------------------
+    @property
+    def capacity(self) -> int:
+        return self.u.shape[0]
+
+    @property
+    def n_particles(self) -> int:
+        return self.u.shape[1]
+
+    @property
+    def n_dim(self) -> int:
+        return self.u.shape[2]
+
+    def iter_mask(self) -> jnp.ndarray:
+        """(T_max,) bool — which iteration slots are valid."""
+        return jnp.arange(self.capacity) < self.t
+
+    def sample_mask(self) -> jnp.ndarray:
+        """(T_max*N,) bool — which flattened history samples are valid."""
+        return jnp.repeat(self.iter_mask(), self.n_particles, total_repeat_length=self.capacity * self.n_particles)
+
+    def flat_u(self) -> jnp.ndarray:
+        return self.u.reshape(-1, self.n_dim)
+
+    def flat_x(self) -> jnp.ndarray:
+        return self.x.reshape(-1, self.n_dim)
+
+    def flat_logl(self) -> jnp.ndarray:
+        return self.logl.reshape(-1)
+
+    def flat_blobs(self) -> Optional[jnp.ndarray]:
+        if self.blobs is None:
+            return None
+        return self.blobs.reshape(self.capacity * self.n_particles, -1)
+
+
+def make_history(
+    capacity: int,
+    n_particles: int,
+    n_dim: int,
+    dtype=jnp.float32,
+    blob_size: Optional[int] = None,
+    blobs_dtype=None,
+) -> History:
+    """Allocate an empty history buffer."""
+    f = lambda *shape: jnp.zeros(shape, dtype=dtype)
+    blobs = None
+    if blob_size is not None:
+        blobs = jnp.zeros((capacity, n_particles, blob_size), dtype=blobs_dtype or dtype)
+    return History(
+        u=f(capacity, n_particles, n_dim),
+        x=f(capacity, n_particles, n_dim),
+        logl=jnp.full((capacity, n_particles), -jnp.inf, dtype=dtype),
+        blobs=blobs,
+        beta=f(capacity),
+        logz=f(capacity),
+        ess=f(capacity),
+        cv=f(capacity),
+        acceptance=f(capacity),
+        efficiency=f(capacity),
+        steps=jnp.zeros((capacity,), dtype=jnp.int32),
+        calls=jnp.zeros((capacity,), dtype=jnp.int32),
+        t=jnp.asarray(0, dtype=jnp.int32),
+    )
+
+
+def grow_history(hist: History, new_capacity: int) -> History:
+    """Grow capacity (host-side, outside jit). Contents preserved."""
+    cap = hist.capacity
+    assert new_capacity > cap
+
+    def pad(arr, fill=0.0):
+        pad_shape = (new_capacity - cap,) + arr.shape[1:]
+        return jnp.concatenate([arr, jnp.full(pad_shape, fill, dtype=arr.dtype)], axis=0)
+
+    return History(
+        u=pad(hist.u),
+        x=pad(hist.x),
+        logl=pad(hist.logl, -jnp.inf),
+        blobs=None if hist.blobs is None else pad(hist.blobs),
+        beta=pad(hist.beta),
+        logz=pad(hist.logz),
+        ess=pad(hist.ess),
+        cv=pad(hist.cv),
+        acceptance=pad(hist.acceptance),
+        efficiency=pad(hist.efficiency),
+        steps=pad(hist.steps),
+        calls=pad(hist.calls),
+        t=hist.t,
+    )
+
+
+@struct.dataclass
+class Current:
+    """Active particle set + per-iteration scalars (device-resident)."""
+
+    u: jnp.ndarray  # (N, d)
+    x: jnp.ndarray  # (N, d)
+    logl: jnp.ndarray  # (N,)
+    blobs: Optional[jnp.ndarray]  # (N, B) or None
+    assignments: jnp.ndarray  # (N,) int32 cluster labels
+    beta: jnp.ndarray  # () scalar
+    logz: jnp.ndarray
+    ess: jnp.ndarray
+    cv: jnp.ndarray
+    acceptance: jnp.ndarray
+    efficiency: jnp.ndarray
+    steps: jnp.ndarray  # () int32
+    calls: jnp.ndarray  # () int32
+    iteration: jnp.ndarray  # () int32
+
+
+def make_current(
+    n_particles: int,
+    n_dim: int,
+    dtype=jnp.float32,
+    blob_size: Optional[int] = None,
+    blobs_dtype=None,
+) -> Current:
+    blobs = None
+    if blob_size is not None:
+        blobs = jnp.zeros((n_particles, blob_size), dtype=blobs_dtype or dtype)
+    z = lambda: jnp.asarray(0.0, dtype=dtype)
+    return Current(
+        u=jnp.zeros((n_particles, n_dim), dtype=dtype),
+        x=jnp.zeros((n_particles, n_dim), dtype=dtype),
+        logl=jnp.full((n_particles,), -jnp.inf, dtype=dtype),
+        blobs=blobs,
+        assignments=jnp.zeros((n_particles,), dtype=jnp.int32),
+        beta=z(),
+        logz=z(),
+        ess=z(),
+        cv=z(),
+        acceptance=z(),
+        efficiency=z(),
+        steps=jnp.asarray(0, dtype=jnp.int32),
+        calls=jnp.asarray(0, dtype=jnp.int32),
+        iteration=jnp.asarray(0, dtype=jnp.int32),
+    )
+
+
+def commit(hist: History, cur: Current) -> History:
+    """Append the current state as iteration slot `t` (jit-safe).
+
+    Parity: state_manager.py:356-416 (commit_current_to_history); caller must
+    ensure capacity > t (grow on host first).
+    """
+    t = hist.t
+    return hist.replace(
+        u=jax.lax.dynamic_update_index_in_dim(hist.u, cur.u, t, 0),
+        x=jax.lax.dynamic_update_index_in_dim(hist.x, cur.x, t, 0),
+        logl=jax.lax.dynamic_update_index_in_dim(hist.logl, cur.logl, t, 0),
+        blobs=None
+        if hist.blobs is None
+        else jax.lax.dynamic_update_index_in_dim(hist.blobs, cur.blobs, t, 0),
+        beta=hist.beta.at[t].set(cur.beta),
+        logz=hist.logz.at[t].set(cur.logz),
+        ess=hist.ess.at[t].set(cur.ess),
+        cv=hist.cv.at[t].set(cur.cv),
+        acceptance=hist.acceptance.at[t].set(cur.acceptance),
+        efficiency=hist.efficiency.at[t].set(cur.efficiency),
+        steps=hist.steps.at[t].set(cur.steps),
+        calls=hist.calls.at[t].set(cur.calls),
+        t=t + 1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# The MIS / balance-heuristic weight computation — the heart of PS.
+# ---------------------------------------------------------------------------
+def compute_logw_and_logz(
+    hist: History, beta_final, normalize: bool = True
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Importance log-weights for ALL historical samples at `beta_final`.
+
+    Exact semantics of state_manager.py:418-480 with constant n_particles per
+    iteration (true in the reference as well):
+
+        logw_s = beta_final * logl_s
+                 - logsumexp_t[ log(n_t/N) + beta_t * logl_s - logZ_t ]
+        logz   = logsumexp_s(logw_s) - log(N)
+
+    Computed as one masked (T_max*N, T_max) matrix: invalid iterations get
+    -inf mixture weight, invalid samples get -inf logw. Fixed shapes; under
+    a sharded particle axis the row-wise logsumexp is local and the final
+    reductions lower to psum over the mesh.
+    """
+    T_max, N = hist.logl.shape
+    it_mask = hist.iter_mask()  # (T_max,)
+    logl = hist.flat_logl()  # (T_max*N,)
+    s_mask = hist.sample_mask()
+
+    n_total = (hist.t * N).astype(hist.logl.dtype)
+    # log(n_t / N_total) = log(N) - log(t*N) = -log(t)
+    log_mix = jnp.where(it_mask, -jnp.log(jnp.maximum(hist.t, 1).astype(hist.logl.dtype)), -jnp.inf)
+
+    beta_final = jnp.asarray(beta_final, dtype=hist.logl.dtype)
+    A = beta_final * logl  # (T_max*N,)
+    # b[s, t] = beta_t * logl_s - logZ_t + log_mix_t. Invalid columns are
+    # forced to -inf BEFORE the logsumexp: uninitialized slots have
+    # beta_t = 0 and logl_s = -inf, whose product is NaN otherwise.
+    b = logl[:, None] * hist.beta[None, :] - hist.logz[None, :] + log_mix[None, :]
+    b = jnp.where(it_mask[None, :], b, -jnp.inf)
+    B = logsumexp(b, axis=1)  # (T_max*N,)
+
+    logw = jnp.where(s_mask, A - B, -jnp.inf)
+    logz_new = logsumexp(logw) - jnp.log(jnp.maximum(n_total, 1.0))
+    logz_new = jnp.where(hist.t > 0, logz_new, -jnp.inf)
+
+    if normalize:
+        logw = logw - logsumexp(logw)
+    return logw, logz_new
