@@ -1,0 +1,516 @@
+"""Weighted Gaussian-mixture EM and hierarchical BIC-gated clustering.
+
+TPU redesign of /root/reference/tempest/cluster.py:5-696. The reference runs
+per-leaf scipy EM fits in Python; here the weighted EM (k-means++ init,
+responsibilities, M-step, lower bound, BIC) is a single jitted fixed-shape
+program over masked data — a leaf is "sample_weight zeroed outside the
+leaf", so leaf counts never change array shapes — and the top-down bisecting
+split loop (fit K=1 vs K=2 per leaf, split when the BIC improvement beats
+`threshold_modifier * n_params * log(N_eff)`) is host-orchestrated over
+K_max padded leaf slots with all leaf fits batched in one `vmap`.
+
+Semantics preserved (citations inline): k-means++ weighted init seeded
+deterministically per fit (cluster.py:94-95 uses np.random.seed(42)),
+responsibility normalization +1e-10 (cluster.py:191), covariance
+regularization fallbacks (cluster.py:180-188), BIC free-parameter counts per
+covariance type (cluster.py:310-340), min_points gating on both children
+(cluster.py:497), optional [0,1] min-max normalization (cluster.py:377-405),
+and mixture-posterior prediction with nearest-center fallback
+(cluster.py:574-631).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .ops.tools import logsumexp
+
+_EPS = 1e-10
+_LOG2PI = float(np.log(2.0 * np.pi))
+
+
+# ---------------------------------------------------------------------------
+# Weighted Gaussian mixture EM (fixed shapes, masked by zero weights)
+# ---------------------------------------------------------------------------
+class GMMParams(NamedTuple):
+    weights: jnp.ndarray  # (K,) mixture weights
+    means: jnp.ndarray  # (K, d)
+    covariances: jnp.ndarray  # (K, d, d) full representation
+    lower_bound: jnp.ndarray  # () weighted log-likelihood bound
+    n_iter: jnp.ndarray  # () int32
+
+
+def _log_gauss(X, mean, cov, reg_covar):
+    """Log N(X | mean, cov + reg*I) with identity fallback on failure.
+
+    Parity: the try/except fallback of cluster.py:180-188 — XLA raises no
+    exceptions, so a NaN Cholesky selects the identity-covariance branch.
+    """
+    d = X.shape[1]
+    eye = jnp.eye(d, dtype=X.dtype)
+    cov_r = cov + eye * reg_covar
+    L = jnp.linalg.cholesky(cov_r)
+    ok = jnp.all(jnp.isfinite(L))
+    L_safe = jnp.where(ok, L, jnp.sqrt(reg_covar) * eye)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_safe)))
+    diff = X - mean
+    sol = jax.scipy.linalg.solve_triangular(L_safe, diff.T, lower=True)
+    maha = jnp.sum(sol * sol, axis=0)
+    return -0.5 * (d * _LOG2PI + logdet + maha)
+
+
+def _kmeanspp_init(key, X, sample_weight, n_components):
+    """Weighted k-means++ seeding (cluster.py:135-158)."""
+    n, d = X.shape
+
+    def first(key):
+        cumsum = jnp.cumsum(sample_weight)
+        r = jax.random.uniform(key, ()) * cumsum[-1]
+        return X[jnp.clip(jnp.searchsorted(cumsum, r), 0, n - 1)]
+
+    keys = jax.random.split(key, n_components)
+    means0 = jnp.zeros((n_components, d), dtype=X.dtype)
+    means0 = means0.at[0].set(first(keys[0]))
+
+    def add_center(k, means):
+        d2 = jnp.sum((X[:, None, :] - means[None, :, :]) ** 2, axis=-1)  # (n, K)
+        col_ids = jnp.arange(n_components)
+        d2 = jnp.where(col_ids[None, :] < k, d2, jnp.inf)
+        distances = jnp.min(d2, axis=1)
+        probs = distances * sample_weight
+        probs = probs / jnp.maximum(jnp.sum(probs), _EPS)
+        cumsum = jnp.cumsum(probs)
+        r = jax.random.uniform(keys[k], ()) * cumsum[-1]
+        return means.at[k].set(X[jnp.clip(jnp.searchsorted(cumsum, r), 0, n - 1)])
+
+    means0 = jax.lax.fori_loop(1, n_components, add_center, means0)
+
+    # Initial soft responsibilities from distances (cluster.py:160-165)
+    d2 = jnp.sum((X[:, None, :] - means0[None, :, :]) ** 2, axis=-1)
+    resp = jnp.exp(-0.5 * d2)
+    resp = resp / jnp.maximum(jnp.sum(resp, axis=1, keepdims=True), _EPS)
+    return resp
+
+
+def _m_step(X, resp, sample_weight, covariance_type: str):
+    """Weighted M-step (cluster.py:195-250). Returns full-matrix covs."""
+    n, d = X.shape
+    wresp = resp * sample_weight[:, None]  # (n, K)
+    nk = jnp.sum(wresp, axis=0)  # (K,)
+    pi = nk / jnp.maximum(jnp.sum(nk), _EPS)
+    means = (wresp.T @ X) / (nk[:, None] + _EPS)
+
+    diff = X[:, None, :] - means[None, :, :]  # (n, K, d)
+    if covariance_type == "full":
+        covs = jnp.einsum("nk,nki,nkj->kij", wresp, diff, diff)
+        covs = covs / (nk[:, None, None] + _EPS)
+    elif covariance_type == "tied":
+        tied = jnp.einsum("nk,nki,nkj->ij", wresp, diff, diff) / n
+        covs = jnp.broadcast_to(tied, (means.shape[0], d, d))
+    elif covariance_type == "diag":
+        var = jnp.einsum("nk,nki->ki", wresp, diff * diff) / (nk[:, None] + _EPS)
+        covs = jax.vmap(jnp.diag)(var)
+    elif covariance_type == "spherical":
+        s = jnp.einsum("nk,nki->k", wresp, diff * diff) / (nk * d + _EPS)
+        covs = s[:, None, None] * jnp.eye(d, dtype=X.dtype)[None]
+    else:
+        raise ValueError(f"Unknown covariance_type {covariance_type}")
+    return pi, means, covs
+
+
+def _e_step(X, pi, means, covs, reg_covar):
+    """Responsibilities in linear space with +eps normalization
+    (cluster.py:172-193)."""
+    log_probs = jax.vmap(lambda m, c: _log_gauss(X, m, c, reg_covar))(means, covs)
+    probs = pi[:, None] * jnp.exp(log_probs)  # (K, n)
+    resp = probs.T  # (n, K)
+    resp = resp / (jnp.sum(resp, axis=1, keepdims=True) + _EPS)
+    return resp
+
+
+def _lower_bound(X, pi, means, covs, sample_weight, reg_covar):
+    """Weighted log-likelihood bound (cluster.py:264-283)."""
+    log_probs = jax.vmap(lambda m, c: _log_gauss(X, m, c, reg_covar))(means, covs)
+    lik = jnp.sum(pi[:, None] * jnp.exp(log_probs), axis=0)  # (n,)
+    return jnp.sum(sample_weight * jnp.log(lik + _EPS))
+
+
+@partial(jax.jit, static_argnames=("n_components", "covariance_type", "max_iter"))
+def gmm_fit(
+    key: jax.Array,
+    X: jnp.ndarray,
+    sample_weight: jnp.ndarray,
+    n_components: int,
+    covariance_type: str = "full",
+    max_iter: int = 1000,
+    tol: float = 1e-3,
+    reg_covar: float = 1e-6,
+) -> GMMParams:
+    """Fit a weighted GMM by EM; zero-weight samples are ignored."""
+    sw = sample_weight / jnp.maximum(jnp.sum(sample_weight), _EPS)
+    resp0 = _kmeanspp_init(key, X, sw, n_components)
+    pi0, means0, covs0 = _m_step(X, resp0, sw, covariance_type)
+
+    def cond(c):
+        return (~c["done"]) & (c["i"] < max_iter)
+
+    def body(c):
+        resp = _e_step(X, c["pi"], c["means"], c["covs"], reg_covar)
+        pi, means, covs = _m_step(X, resp, sw, covariance_type)
+        new_lb = _lower_bound(X, pi, means, covs, sw, reg_covar)
+        done = (new_lb - c["lb"]) < tol
+        lb = jnp.where(done, c["lb"], new_lb)
+        return {
+            "pi": pi, "means": means, "covs": covs,
+            "lb": lb, "i": c["i"] + 1, "done": done,
+        }
+
+    init = {
+        "pi": pi0, "means": means0, "covs": covs0,
+        "lb": jnp.asarray(-jnp.inf, X.dtype),
+        "i": jnp.asarray(0, jnp.int32),
+        "done": jnp.asarray(False),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    # Reference keeps the last computed bound even when it triggered the
+    # break (cluster.py:113-126 stores best over inits).
+    final_lb = _lower_bound(X, out["pi"], out["means"], out["covs"], sw, reg_covar)
+    return GMMParams(
+        weights=out["pi"],
+        means=out["means"],
+        covariances=out["covs"],
+        lower_bound=final_lb,
+        n_iter=out["i"],
+    )
+
+
+def gmm_predict(params: GMMParams, X: jnp.ndarray, reg_covar: float = 1e-6) -> jnp.ndarray:
+    """Hard assignment by max posterior (cluster.py:285-308)."""
+    log_probs = jax.vmap(
+        lambda m, c: _log_gauss(X, m, c, reg_covar)
+    )(params.means, params.covariances)  # (K, n)
+    scores = jnp.log(params.weights + _EPS)[:, None] + log_probs
+    return jnp.argmax(scores, axis=0).astype(jnp.int32)
+
+
+def gmm_bic(
+    params: GMMParams,
+    X: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    covariance_type: str = "full",
+    reg_covar: float = 1e-6,
+) -> jnp.ndarray:
+    """BIC with per-type free-parameter counts (cluster.py:310-340).
+
+    `mask` selects the leaf members; the reference evaluates BIC on the leaf
+    data with uniform weights 1/n_leaf and n_samples = n_leaf.
+    """
+    n, d = X.shape
+    K = params.means.shape[0]
+    if covariance_type == "full":
+        cov_params = K * d * (d + 1) / 2
+    elif covariance_type == "tied":
+        cov_params = d * (d + 1) / 2
+    elif covariance_type == "diag":
+        cov_params = K * d
+    elif covariance_type == "spherical":
+        cov_params = K
+    n_parameters = (K - 1) + K * d + cov_params
+
+    if mask is None:
+        n_leaf = jnp.asarray(float(n), X.dtype)
+        uw = jnp.full((n,), 1.0 / n, dtype=X.dtype)
+    else:
+        n_leaf = jnp.sum(mask).astype(X.dtype)
+        uw = jnp.where(mask, 1.0 / jnp.maximum(n_leaf, 1.0), 0.0)
+
+    ll = _lower_bound(X, params.weights, params.means, params.covariances, uw, reg_covar)
+    ll = ll * n_leaf
+    return -2.0 * ll + n_parameters * jnp.log(jnp.maximum(n_leaf, 1.0))
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (bisecting) clustering with BIC gate
+# ---------------------------------------------------------------------------
+@struct.dataclass
+class ClusterModel:
+    """Fitted hierarchical clustering, ready for on-device prediction."""
+
+    centers: jnp.ndarray  # (K_max, d) in ORIGINAL coordinates
+    covariances: jnp.ndarray  # (K_max, d, d) in ORIGINAL coordinates
+    weights: jnp.ndarray  # (K_max,) cluster weight fractions
+    k_mask: jnp.ndarray  # (K_max,) valid-cluster mask
+    data_min: jnp.ndarray  # (d,) normalization bounds (ignored if not normalize)
+    data_max: jnp.ndarray  # (d,)
+    normalize: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def k_max(self) -> int:
+        return self.centers.shape[0]
+
+    def n_clusters(self) -> jnp.ndarray:
+        return jnp.sum(self.k_mask)
+
+
+def single_cluster_model(n_dim: int, k_max: int, dtype=jnp.float32) -> ClusterModel:
+    """Trivial one-cluster model (clustering disabled)."""
+    return ClusterModel(
+        centers=jnp.zeros((k_max, n_dim), dtype=dtype),
+        covariances=jnp.broadcast_to(
+            jnp.eye(n_dim, dtype=dtype), (k_max, n_dim, n_dim)
+        ),
+        weights=jnp.where(jnp.arange(k_max) < 1, 1.0, 0.0).astype(dtype),
+        k_mask=jnp.arange(k_max) < 1,
+        data_min=jnp.zeros((n_dim,), dtype=dtype),
+        data_max=jnp.ones((n_dim,), dtype=dtype),
+        normalize=False,
+    )
+
+
+@partial(jax.jit, static_argnames=())
+def cluster_predict(model: ClusterModel, X: jnp.ndarray) -> jnp.ndarray:
+    """Mixture-posterior assignment with nearest-center fallback.
+
+    Parity: cluster.py:574-600 / 633-696 — per-cluster Gaussian logpdf in
+    normalized coordinates with 1e-6 regularization; rows whose mixture
+    score is non-finite fall back to nearest center.
+    """
+    scale = model.data_max - model.data_min + _EPS
+    if model.normalize:
+        Xn = (X - model.data_min) / scale
+        centers = (model.centers - model.data_min) / scale
+        covs = model.covariances / (scale[:, None] * scale[None, :])[None]
+    else:
+        Xn = X
+        centers = model.centers
+        covs = model.covariances
+
+    def score_k(mean, cov, weight, valid):
+        lp = _log_gauss(Xn, mean, cov, 1e-6) + jnp.log(weight + _EPS)
+        return jnp.where(valid, lp, -jnp.inf)
+
+    scores = jax.vmap(score_k)(centers, covs, model.weights, model.k_mask)  # (K, n)
+    best = jnp.argmax(scores, axis=0).astype(jnp.int32)
+
+    # Nearest-center fallback for non-finite scores
+    d2 = jnp.sum((Xn[:, None, :] - centers[None, :, :]) ** 2, axis=-1)  # (n, K)
+    d2 = jnp.where(model.k_mask[None, :], d2, jnp.inf)
+    nearest = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    bad = ~jnp.isfinite(jnp.max(scores, axis=0))
+    return jnp.where(bad, nearest, best)
+
+
+def cluster_predict_proba(model: ClusterModel, X: jnp.ndarray) -> jnp.ndarray:
+    """Mixture posterior probabilities (cluster.py:602-631)."""
+    scale = model.data_max - model.data_min + _EPS
+    if model.normalize:
+        Xn = (X - model.data_min) / scale
+        centers = (model.centers - model.data_min) / scale
+        covs = model.covariances / (scale[:, None] * scale[None, :])[None]
+    else:
+        Xn = X
+        centers = model.centers
+        covs = model.covariances
+
+    def score_k(mean, cov, weight, valid):
+        lp = _log_gauss(Xn, mean, cov, 1e-6) + jnp.log(weight + _EPS)
+        return jnp.where(valid, lp, -jnp.inf)
+
+    scores = jax.vmap(score_k)(centers, covs, model.weights, model.k_mask)  # (K, n)
+    norm = logsumexp(scores, axis=0, keepdims=True)
+    return jnp.exp(scores - norm).T  # (n, K)
+
+
+class HierarchicalGaussianMixture:
+    """Top-down bisecting clusterer, host-orchestrated over jitted fits.
+
+    Parity: cluster.py:343-572. Leaf bookkeeping (label arrays, split
+    decisions) lives on the host; every leaf's K=1 and K=2 EM fits and BICs
+    are evaluated with jitted fixed-shape kernels (the leaf is encoded as a
+    zeroed weight mask so no shapes depend on leaf sizes).
+    """
+
+    def __init__(
+        self,
+        n_init: int = 1,
+        max_iterations: int = 1000,
+        min_points: Optional[int] = None,
+        threshold_modifier: float = 1.0,
+        covariance_type: str = "full",
+        verbose: bool = False,
+        normalize: bool = False,
+        k_max: int = 16,
+        seed: int = 42,
+    ):
+        if threshold_modifier <= 0:
+            raise ValueError("threshold_modifier must be positive.")
+        self.n_init = n_init
+        self.max_iterations = max_iterations
+        self.min_points = min_points
+        self.threshold_modifier = float(threshold_modifier)
+        self.covariance_type = covariance_type
+        self.verbose = verbose
+        self.normalize = normalize
+        self.k_max = k_max
+        self.seed = seed
+        self.model: Optional[ClusterModel] = None
+        self.labels_: Optional[np.ndarray] = None
+        self.n_clusters_: int = 0
+
+    # -- internals ---------------------------------------------------------
+    @staticmethod
+    def _bic_tolerance(n_features: int, weights: np.ndarray) -> float:
+        """n_params * log(N_eff) gate (cluster.py:407-418)."""
+        w = weights / np.sum(weights)
+        n_eff = 1.0 / np.sum(w * w)
+        d = n_features
+        n_params = d + d * (d + 1) / 2 + 1
+        return float(n_params * np.log(n_eff))
+
+    def fit(
+        self,
+        X,
+        sample_weight=None,
+        mask=None,
+    ) -> "HierarchicalGaussianMixture":
+        """Fit on (n, d) data; `mask` marks valid rows (fixed-shape path)."""
+        X = jnp.asarray(X)
+        n, d = X.shape
+        if sample_weight is None:
+            sample_weight = jnp.ones((n,), dtype=X.dtype)
+        else:
+            sample_weight = jnp.asarray(sample_weight, dtype=X.dtype)
+        if mask is None:
+            mask_np = np.ones(n, dtype=bool)
+        else:
+            mask_np = np.asarray(mask)
+        sample_weight = jnp.where(jnp.asarray(mask_np), sample_weight, 0.0)
+
+        # Normalization bounds over valid data (cluster.py:436-439)
+        if self.normalize:
+            Xv = np.asarray(X)[mask_np]
+            data_min = jnp.asarray(Xv.min(axis=0))
+            data_max = jnp.asarray(Xv.max(axis=0))
+            Xw = (X - data_min) / (data_max - data_min + _EPS)
+        else:
+            data_min = jnp.zeros((d,), dtype=X.dtype)
+            data_max = jnp.ones((d,), dtype=X.dtype)
+            Xw = X
+
+        min_points = self.min_points if self.min_points is not None else 2 * d
+        key = jax.random.PRNGKey(self.seed)
+
+        labels = np.zeros(n, dtype=np.int32)
+        labels[~mask_np] = -1
+        n_leaves = 1
+        sw_np = np.asarray(sample_weight)
+
+        fit2_cache = {}
+        for _ in range(self.max_iterations):
+            best = None  # (improvement, leaf, child_labels)
+            for leaf in range(n_leaves):
+                members = labels == leaf
+                n_members = int(members.sum())
+                if n_members < min_points:
+                    continue
+                leaf_w = jnp.where(jnp.asarray(members), sample_weight, 0.0)
+                w_np = sw_np[members]
+                if w_np.sum() <= 0:
+                    continue
+                threshold = self.threshold_modifier * self._bic_tolerance(d, w_np)
+
+                leaf_mask = jnp.asarray(members)
+                p1 = gmm_fit(key, Xw, leaf_w, 1, self.covariance_type)
+                p2 = gmm_fit(key, Xw, leaf_w, 2, self.covariance_type)
+                bic1 = float(gmm_bic(p1, Xw, leaf_mask, self.covariance_type))
+                bic2 = float(gmm_bic(p2, Xw, leaf_mask, self.covariance_type))
+                improvement = bic1 - bic2
+                if self.verbose:
+                    print(
+                        f"Leaf {leaf}: BIC1={bic1:.2f} BIC2={bic2:.2f} "
+                        f"improvement={improvement:.2f} threshold={threshold:.2f}"
+                    )
+                if improvement > threshold and (best is None or improvement > best[0]):
+                    child = np.asarray(gmm_predict(p2, Xw))
+                    c0 = members & (child == 0)
+                    c1 = members & (child == 1)
+                    if c0.sum() >= min_points and c1.sum() >= min_points:
+                        best = (improvement, leaf, child)
+
+            if best is None or n_leaves >= self.k_max:
+                break
+
+            _, leaf, child = best
+            members = labels == leaf
+            # Children replace the parent: child 0 keeps the parent's slot
+            # renumbered to the end, matching the reference's pop+extend
+            # relabeling (cluster.py:508-509).
+            new0, new1 = self._relabel(labels, leaf, n_leaves)
+            labels[members & (child == 0)] = new0
+            labels[members & (child == 1)] = new1
+            labels = self._compact_labels(labels)
+            n_leaves += 1
+
+        # Final per-leaf refit (cluster.py:527-556)
+        centers = np.zeros((self.k_max, d), dtype=np.asarray(X).dtype)
+        covs = np.tile(np.eye(d, dtype=np.asarray(X).dtype), (self.k_max, 1, 1))
+        for leaf in range(n_leaves):
+            members = labels == leaf
+            leaf_w = jnp.where(jnp.asarray(members), sample_weight, 0.0)
+            if int(members.sum()) >= d:
+                p = gmm_fit(key, Xw, leaf_w, 1, self.covariance_type)
+                c = np.asarray(p.means[0])
+                cv = np.asarray(p.covariances[0])
+            else:
+                c = np.asarray(Xw)[members].mean(axis=0)
+                cv = np.eye(d)
+            if self.normalize:
+                scale = np.asarray(data_max - data_min) + _EPS
+                c = c * scale + np.asarray(data_min)
+                cv = cv * np.outer(scale, scale)
+            centers[leaf] = c
+            covs[leaf] = cv
+
+        total_w = sw_np.sum()
+        cweights = np.zeros(self.k_max, dtype=np.asarray(X).dtype)
+        for leaf in range(n_leaves):
+            cweights[leaf] = sw_np[labels == leaf].sum() / max(total_w, _EPS)
+
+        self.model = ClusterModel(
+            centers=jnp.asarray(centers),
+            covariances=jnp.asarray(covs),
+            weights=jnp.asarray(cweights),
+            k_mask=jnp.arange(self.k_max) < n_leaves,
+            data_min=data_min,
+            data_max=data_max,
+            normalize=self.normalize,
+        )
+        self.labels_ = labels
+        self.n_clusters_ = n_leaves
+        return self
+
+    @staticmethod
+    def _relabel(labels, leaf, n_leaves):
+        """Assign child labels: child0 -> parent slot, child1 -> new slot."""
+        return leaf, n_leaves
+
+    @staticmethod
+    def _compact_labels(labels):
+        return labels
+
+    def predict(self, X) -> np.ndarray:
+        if self.model is None:
+            raise ValueError("The model has not been fitted yet.")
+        return np.asarray(cluster_predict(self.model, jnp.asarray(X)))
+
+    def predict_proba(self, X) -> np.ndarray:
+        if self.model is None:
+            raise ValueError("The model has not been fitted yet.")
+        proba = np.asarray(cluster_predict_proba(self.model, jnp.asarray(X)))
+        return proba[:, : self.n_clusters_]

@@ -1,0 +1,419 @@
+"""SamplerCore — the Persistent Sampling orchestration loop.
+
+TPU redesign of /root/reference/tempest/core.py:20-440. The host only
+drives the annealing while-loop, the clustering split decisions, progress
+reporting, capacity growth, and checkpoints; every array operation —
+reweighting (with its complete beta bisection), mode training, resampling,
+and the full adaptive MCMC mutation — runs as jitted device programs with
+static shapes. One host<->device sync per pipeline stage per iteration.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DOF_FALLBACK, SamplerConfig
+from .mcmc import make_mcmc_kernel
+from .modes import identity_mode_statistics
+from .ops.boundary import make_boundary_masks
+from .ops.tools import ess_from_logw, systematic_resample
+from .ops.tools import trim_weights_mask
+from .state import (
+    Current,
+    History,
+    commit,
+    compute_logw_and_logz,
+    grow_history,
+    make_current,
+    make_history,
+)
+from .steps.mutate import make_warmup_kernel
+from .steps.resample import resample as resample_step
+from .steps.reweight import reweight as reweight_step
+from .steps.train import Trainer
+from .utils.checkpoint import load_checkpoint, save_checkpoint
+from .utils.progress import ProgressBar
+from .utils.wrappers import (
+    FunctionWrapper,
+    build_log_likelihood,
+    build_prior_transform,
+    infer_blob_size,
+)
+
+
+class SamplerCore:
+    """Internal coordinator; the public Sampler facade delegates here."""
+
+    def __init__(self, config: SamplerConfig):
+        self.config = config
+        cfg = config
+        self.n_dim = cfg.n_dim
+        self.n_particles = cfg.n_particles
+        self.dtype = cfg.dtype
+        self.have_blobs = cfg.blobs_dtype is not None
+
+        wrapped = FunctionWrapper(
+            cfg.log_likelihood, cfg.log_likelihood_args, cfg.log_likelihood_kwargs
+        )
+        self.blob_size = infer_blob_size(
+            wrapped, cfg.n_dim, self.have_blobs, cfg.host_likelihood, cfg.blobs_dtype
+        )
+        self._prior_batch = build_prior_transform(cfg.prior_transform, cfg.vectorize)
+        self._loglike_batch = build_log_likelihood(
+            wrapped,
+            cfg.vectorize,
+            self.have_blobs,
+            cfg.host_likelihood,
+            cfg.n_particles,
+            dtype=cfg.dtype,
+            blob_size=self.blob_size,
+            blobs_dtype=cfg.blobs_dtype,
+        )
+
+        p_mask, r_mask, s_mask = make_boundary_masks(cfg.n_dim, cfg.periodic, cfg.reflective)
+        k_max = cfg.k_max if cfg.clustering else 1
+        self.k_max = k_max
+        self._mcmc = make_mcmc_kernel(
+            self._loglike_batch,
+            self._prior_batch,
+            cfg.n_dim,
+            method=cfg.sample,
+            n_steps=cfg.n_steps,
+            n_max_steps=cfg.n_max_steps,
+            periodic_mask=p_mask,
+            reflective_mask=r_mask,
+            strict_mask=s_mask,
+            have_blobs=self.have_blobs,
+        )
+        self._warmup = make_warmup_kernel(
+            self._loglike_batch, self._prior_batch, cfg.n_particles, cfg.n_dim, cfg.dtype
+        )
+        self.trainer = Trainer(
+            n_dim=cfg.n_dim,
+            k_max=k_max,
+            clustering=cfg.clustering,
+            cluster_every=cfg.cluster_every,
+            normalize=cfg.normalize,
+            split_threshold=cfg.split_threshold,
+            n_max_clusters=cfg.n_max_clusters,
+            dof_fallback=DOF_FALLBACK,
+            n_particles=cfg.n_particles,
+            dtype=cfg.dtype,
+        )
+
+        seed = cfg.random_state if cfg.random_state is not None else 0
+        self.key = jax.random.PRNGKey(seed)
+        self.hist: History = make_history(
+            cfg.history_capacity,
+            cfg.n_particles,
+            cfg.n_dim,
+            dtype=cfg.dtype,
+            blob_size=self.blob_size,
+            blobs_dtype=cfg.blobs_dtype,
+        )
+        self.cur: Current = make_current(
+            cfg.n_particles, cfg.n_dim, dtype=cfg.dtype,
+            blob_size=self.blob_size, blobs_dtype=cfg.blobs_dtype,
+        )
+        self.pbar: Optional[ProgressBar] = None
+        self.n_total: Optional[int] = None
+        self.logz_err = None
+        self.t0 = 0
+
+        # jitted termination metric: (posterior ESS, beta)
+        self._posterior_ess = jax.jit(
+            lambda hist: ess_from_logw(compute_logw_and_logz(hist, 1.0)[0])
+        )
+
+    # ------------------------------------------------------------------
+    def _next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _ensure_capacity(self):
+        if int(self.hist.t) >= self.hist.capacity:
+            self.hist = grow_history(self.hist, self.hist.capacity * 2)
+
+    # ------------------------------------------------------------------
+    def run_sampling(
+        self,
+        n_total: int = 4096,
+        progress: bool = True,
+        resume_state_path: Optional[Union[str, Path]] = None,
+        save_every: Optional[int] = None,
+    ) -> None:
+        """Full annealing run. Parity: core.py:110-160."""
+        if resume_state_path is not None:
+            self.load_sampler_state(resume_state_path)
+            t0 = int(self.cur.iteration)
+        else:
+            t0 = 0
+
+        self.n_total = int(n_total)
+        self.t0 = t0
+        self.pbar = ProgressBar(progress, initial=t0)
+        self.pbar.update_stats(
+            dict(
+                beta=float(self.cur.beta),
+                calls=int(self.cur.calls),
+                ESS=int(self.config.ess_ratio * self.n_particles),
+                logZ=float(self.cur.logz),
+                logL=0.0, acc=0.0, steps=0, eff=0.0, K=1,
+            )
+        )
+
+        while self._not_termination():
+            self.execute_iteration(save_every=save_every, t0=t0)
+
+        # Final evidence at beta=1 over the whole history (core.py:148-151)
+        _, logz = compute_logw_and_logz(self.hist, 1.0)
+        self.cur = self.cur.replace(logz=logz.astype(self.dtype))
+        self.logz_err = None
+
+        if save_every is not None:
+            self.save_sampler_state(
+                self.config.output_dir / f"{self.config.output_label}_final.state"
+            )
+        self.pbar.close()
+
+    def _not_termination(self) -> bool:
+        """Continue while (1 - beta >= 1e-4) or posterior ESS < n_total.
+        Parity: core.py:360-374."""
+        if int(self.hist.t) == 0:
+            return True
+        ess = float(self._posterior_ess(self.hist))
+        beta = float(self.cur.beta)
+        return 1.0 - beta >= 1e-4 or ess < (self.n_total or 0)
+
+    # ------------------------------------------------------------------
+    def execute_iteration(self, save_every: Optional[int] = None, t0: int = 0) -> dict:
+        """One reweight -> train -> resample -> mutate pipeline iteration.
+        Parity: core.py:162-185."""
+        if save_every is not None:
+            it = int(self.cur.iteration)
+            if (it - t0) % int(save_every) == 0 and it != t0:
+                self.save_sampler_state(
+                    self.config.output_dir / f"{self.config.output_label}_{it}.state"
+                )
+
+        self._ensure_capacity()
+        cfg = self.config
+        iteration = int(self.cur.iteration) + 1
+        self.cur = self.cur.replace(iteration=jnp.asarray(iteration, jnp.int32))
+        if self.pbar is not None:
+            self.pbar.update_iter()
+
+        if int(self.hist.t) == 0:
+            # --- warm-up iteration (beta = 0) -------------------------
+            ess0 = cfg.ess_ratio * self.n_particles
+            self.cur = self.cur.replace(
+                beta=jnp.asarray(0.0, self.dtype),
+                logz=jnp.asarray(0.0, self.dtype),
+                ess=jnp.asarray(ess0, self.dtype),
+                cv=jnp.asarray(0.0, self.dtype),
+                assignments=jnp.zeros((self.n_particles,), jnp.int32),
+            )
+            wr = self._warmup(self._next_key())
+            self.cur = self.cur.replace(
+                u=wr.u, x=wr.x, logl=wr.logl, blobs=wr.blobs,
+                logz=self.cur.logz + wr.logz_correction,
+                calls=self.cur.calls + self.n_particles,
+                steps=jnp.asarray(1, jnp.int32),
+                acceptance=jnp.asarray(1.0, self.dtype),
+                efficiency=jnp.asarray(1.0, self.dtype),
+            )
+        else:
+            # --- reweight ---------------------------------------------
+            rw = reweight_step(
+                self.hist,
+                self.cur.beta,
+                cfg.ess_ratio * self.n_particles,
+                cv_target=cfg.volume_variation or 0.0,
+                dynamic=cfg.volume_variation is not None,
+            )
+            self.cur = self.cur.replace(
+                beta=rw.beta.astype(self.dtype),
+                logz=rw.logz.astype(self.dtype),
+                ess=rw.ess.astype(self.dtype),
+                cv=rw.cv.astype(self.dtype),
+            )
+
+            # --- train -------------------------------------------------
+            mode_stats = self.trainer.run(
+                self._next_key(), self.hist, rw.weights, iteration
+            )
+
+            # --- resample ---------------------------------------------
+            u, x, logl, blobs, assignments = resample_step(
+                self._next_key(),
+                self.hist,
+                rw.weights,
+                self.trainer.cluster_model,
+                self.n_particles,
+                method=cfg.resample,
+                clustering=cfg.clustering,
+            )
+            self.cur = self.cur.replace(
+                u=u, x=x, logl=logl, blobs=blobs, assignments=assignments
+            )
+
+            # --- mutate ------------------------------------------------
+            res = self._mcmc(
+                self._next_key(),
+                self.cur.u, self.cur.x, self.cur.logl, self.cur.blobs,
+                self.cur.assignments, self.cur.beta, mode_stats,
+            )
+            self.cur = self.cur.replace(
+                u=res.u, x=res.x, logl=res.logl, blobs=res.blobs,
+                efficiency=res.efficiency.astype(self.dtype),
+                acceptance=res.acceptance.astype(self.dtype),
+                steps=res.steps,
+                calls=self.cur.calls + res.n_calls,
+            )
+            if self.pbar is not None:
+                self.pbar.update_stats(dict(K=int(mode_stats.n_modes())))
+
+        self._update_progress_bar()
+        self.hist = commit(self.hist, self.cur)
+        return self.get_current_dict()
+
+    # ------------------------------------------------------------------
+    def compute_posterior(
+        self,
+        resample: bool = False,
+        return_blobs: bool = False,
+        trim_importance_weights: bool = True,
+        return_logw: bool = False,
+        ess_trim: float = 0.99,
+        bins_trim: int = 1000,
+    ):
+        """Posterior extraction. Parity: core.py:187-242."""
+        logw, _ = compute_logw_and_logz(self.hist, 1.0)
+        valid = np.asarray(self.hist.sample_mask())
+        logw_np = np.asarray(logw)
+
+        x = np.asarray(self.hist.flat_x())
+        u = np.asarray(self.hist.flat_u())
+        logl = np.asarray(self.hist.flat_logl())
+        blobs = None
+        if self.hist.blobs is not None:
+            blobs = np.asarray(self.hist.flat_blobs())
+
+        weights = np.exp(logw_np - np.max(logw_np[valid]))
+        weights[~valid] = 0.0
+        weights /= weights.sum()
+
+        if trim_importance_weights:
+            keep, w_trim = trim_weights_mask(
+                jnp.asarray(weights), mask=jnp.asarray(valid), ess=ess_trim, bins=bins_trim
+            )
+            sel = np.asarray(keep)
+            weights = np.asarray(w_trim)[sel]
+        else:
+            sel = valid
+            weights = weights[sel]
+        x, u, logl = x[sel], u[sel], logl[sel]
+        logw_np = logw_np[sel]
+        if blobs is not None:
+            blobs = blobs[sel]
+
+        if resample:
+            idx = np.asarray(
+                systematic_resample(self._next_key(), len(weights), jnp.asarray(weights))
+            )
+            x, u, logl = x[idx], u[idx], logl[idx]
+            logw_np = logw_np[idx]
+            if blobs is not None:
+                blobs = blobs[idx]
+            weights = np.ones(len(idx)) / len(idx)
+
+        out = [x, weights, logl]
+        if return_blobs and blobs is not None:
+            out.append(blobs)
+        if return_logw:
+            out.append(logw_np)
+        return tuple(out)
+
+    def compute_evidence(self):
+        """(logz, logz_err). Parity: core.py:244-247 (err always None)."""
+        return float(self.cur.logz), self.logz_err
+
+    def compute_results(self) -> dict:
+        """Full per-iteration history. Parity: state_manager.py:482-503."""
+        t = int(self.hist.t)
+        out = {
+            "u": np.asarray(self.hist.u[:t]),
+            "x": np.asarray(self.hist.x[:t]),
+            "logl": np.asarray(self.hist.logl[:t]),
+            "beta": np.asarray(self.hist.beta[:t]),
+            "logz": np.asarray(self.hist.logz[:t]),
+            "ess": np.asarray(self.hist.ess[:t]),
+            "cv": np.asarray(self.hist.cv[:t]),
+            "acceptance": np.asarray(self.hist.acceptance[:t]),
+            "efficiency": np.asarray(self.hist.efficiency[:t]),
+            "steps": np.asarray(self.hist.steps[:t]),
+            "calls": np.asarray(self.hist.calls[:t]),
+            "iter": np.arange(1, t + 1),
+        }
+        if self.hist.blobs is not None:
+            out["blobs"] = np.asarray(self.hist.blobs[:t])
+        logw, _ = compute_logw_and_logz(self.hist, 1.0)
+        out["logw"] = np.asarray(logw)[np.asarray(self.hist.sample_mask())]
+        return out
+
+    # ------------------------------------------------------------------
+    def save_sampler_state(self, path: Union[str, Path]) -> None:
+        meta = {
+            "n_total": self.n_total,
+            "random_state": self.config.random_state,
+            "version": 1,
+        }
+        save_checkpoint(Path(path), self.hist, self.cur, self.key, meta)
+
+    def load_sampler_state(self, path: Union[str, Path]) -> None:
+        hist, cur, key, meta = load_checkpoint(Path(path), dtype=self.dtype)
+        self.hist, self.cur, self.key = hist, cur, key
+        if meta.get("n_total") is not None:
+            self.n_total = meta["n_total"]
+
+    # ------------------------------------------------------------------
+    def get_current_dict(self) -> dict:
+        c = self.cur
+        return {
+            "u": np.asarray(c.u),
+            "x": np.asarray(c.x),
+            "logl": np.asarray(c.logl),
+            "blobs": None if c.blobs is None else np.asarray(c.blobs),
+            "assignments": np.asarray(c.assignments),
+            "beta": float(c.beta),
+            "logz": float(c.logz),
+            "ess": float(c.ess),
+            "cv": float(c.cv),
+            "acceptance": float(c.acceptance),
+            "efficiency": float(c.efficiency),
+            "steps": int(c.steps),
+            "calls": int(c.calls),
+            "iter": int(c.iteration),
+        }
+
+    def _update_progress_bar(self):
+        if self.pbar is None:
+            return
+        c = self.cur
+        stats = dict(
+            calls=int(c.calls),
+            beta=float(c.beta),
+            ESS=int(float(c.ess)),
+            logZ=float(c.logz),
+            logL=float(jnp.mean(c.logl)),
+            acc=float(c.acceptance),
+            steps=int(c.steps),
+            eff=float(c.efficiency),
+            CV=float(c.cv),
+        )
+        self.pbar.update_stats(stats)

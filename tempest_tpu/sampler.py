@@ -1,0 +1,242 @@
+"""Public Sampler facade.
+
+Drop-in analogue of /root/reference/tempest/sampler.py:12-406: the same
+constructor keywords, run/sample/posterior/evidence/save_state/load_state/
+results methods and read-only properties — backed by the TPU-native core.
+Model functions (`prior_transform`, `log_likelihood`) are JAX functions
+vmapped over the particle axis (set vectorize=True if they already accept
+batches, or host_likelihood=True to bridge non-JAX code via pure_callback).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Union
+
+from .config import SamplerConfig
+from .core import SamplerCore
+
+
+class Sampler:
+    """Persistent Sampling on TPU.
+
+    Parameters mirror the reference API (sampler.py:22-119); TPU-specific
+    extras: dtype, host_likelihood, mesh, k_max, history_capacity.
+    """
+
+    def __init__(
+        self,
+        prior_transform: callable,
+        log_likelihood: callable,
+        n_dim: int,
+        n_particles: Optional[int] = None,
+        ess_ratio: float = 2.0,
+        volume_variation: Optional[float] = None,
+        log_likelihood_args: Optional[list] = None,
+        log_likelihood_kwargs: Optional[dict] = None,
+        vectorize: bool = False,
+        blobs_dtype: Optional[str] = None,
+        periodic: Optional[list] = None,
+        reflective: Optional[list] = None,
+        pool: Optional[Union[int, object]] = None,
+        clustering: bool = True,
+        normalize: bool = True,
+        cluster_every: int = 1,
+        split_threshold: float = 1.0,
+        n_max_clusters: Optional[int] = None,
+        sample: str = "tpcn",
+        n_steps: Optional[int] = None,
+        n_max_steps: Optional[int] = None,
+        resample: str = "mult",
+        output_dir: Optional[str] = None,
+        output_label: Optional[str] = None,
+        random_state: Optional[int] = None,
+        # TPU-native extras
+        dtype=None,
+        host_likelihood: bool = False,
+        mesh=None,
+        k_max: Optional[int] = None,
+        history_capacity: Optional[int] = None,
+    ):
+        import jax.numpy as jnp
+
+        extra = {}
+        if dtype is not None:
+            extra["dtype"] = dtype
+        if k_max is not None:
+            extra["k_max"] = k_max
+        if history_capacity is not None:
+            extra["history_capacity"] = history_capacity
+
+        config = SamplerConfig(
+            prior_transform=prior_transform,
+            log_likelihood=log_likelihood,
+            n_dim=n_dim,
+            n_particles=n_particles,
+            ess_ratio=ess_ratio,
+            volume_variation=volume_variation,
+            log_likelihood_args=log_likelihood_args,
+            log_likelihood_kwargs=log_likelihood_kwargs,
+            vectorize=vectorize,
+            blobs_dtype=blobs_dtype,
+            periodic=periodic,
+            reflective=reflective,
+            pool=pool,
+            clustering=clustering,
+            normalize=normalize,
+            cluster_every=cluster_every,
+            split_threshold=split_threshold,
+            n_max_clusters=n_max_clusters,
+            sample=sample,
+            n_steps=n_steps,
+            n_max_steps=n_max_steps,
+            resample=resample,
+            output_dir=output_dir,
+            output_label=output_label,
+            random_state=random_state,
+            host_likelihood=host_likelihood,
+            mesh=mesh,
+            **extra,
+        )
+        self._core = SamplerCore(config)
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        n_total: int = 4096,
+        progress: bool = True,
+        resume_state_path: Union[str, Path, None] = None,
+        save_every: Optional[int] = None,
+    ):
+        """Run Persistent Sampling until beta reaches 1 and the posterior
+        ESS reaches n_total. Parity: sampler.py:163-193."""
+        return self._core.run_sampling(
+            n_total=n_total,
+            progress=progress,
+            resume_state_path=resume_state_path,
+            save_every=save_every,
+        )
+
+    def sample(self, save_every: Optional[int] = None, t0: int = 0) -> dict:
+        """Perform a single PS iteration. Parity: sampler.py:195-214."""
+        return self._core.execute_iteration(save_every=save_every, t0=t0)
+
+    def posterior(
+        self,
+        resample: bool = False,
+        return_blobs: bool = False,
+        trim_importance_weights: bool = True,
+        return_logw: bool = False,
+        ess_trim: float = 0.99,
+        bins_trim: int = 1000,
+    ) -> tuple:
+        """Posterior samples (x, weights, logl[, blobs][, logw]).
+        Parity: sampler.py:216-263."""
+        return self._core.compute_posterior(
+            resample=resample,
+            return_blobs=return_blobs,
+            trim_importance_weights=trim_importance_weights,
+            return_logw=return_logw,
+            ess_trim=ess_trim,
+            bins_trim=bins_trim,
+        )
+
+    def evidence(self):
+        """(logz, logz_err). Parity: sampler.py:265-276."""
+        return self._core.compute_evidence()
+
+    def save_state(self, path: Union[str, Path]):
+        self._core.save_sampler_state(Path(path))
+
+    def load_state(self, path: Union[str, Path]):
+        self._core.load_sampler_state(Path(path))
+
+    def results(self) -> dict:
+        """Full per-iteration history + final log-weights."""
+        return self._core.compute_results()
+
+    # ------------------------------------------------------------------
+    @property
+    def n_dim(self) -> int:
+        return self._core.config.n_dim
+
+    @property
+    def n_particles(self) -> int:
+        return self._core.config.n_particles
+
+    @property
+    def ess_ratio(self) -> float:
+        return self._core.config.ess_ratio
+
+    @property
+    def volume_variation(self) -> Optional[float]:
+        return self._core.config.volume_variation
+
+    @property
+    def n_steps(self) -> int:
+        return self._core.config.n_steps
+
+    @property
+    def n_max_steps(self) -> int:
+        return self._core.config.n_max_steps
+
+    @property
+    def n_total(self) -> Optional[int]:
+        return self._core.n_total
+
+    @property
+    def resample(self) -> str:
+        return self._core.config.resample
+
+    @property
+    def clustering(self) -> bool:
+        return self._core.config.clustering
+
+    @property
+    def vectorize(self) -> bool:
+        return self._core.config.vectorize
+
+    @property
+    def output_dir(self) -> Path:
+        return self._core.config.output_dir
+
+    @property
+    def output_label(self) -> str:
+        return self._core.config.output_label
+
+    @property
+    def random_state(self) -> Optional[int]:
+        return self._core.config.random_state
+
+    @property
+    def periodic(self) -> Optional[list]:
+        return self._core.config.periodic
+
+    @property
+    def reflective(self) -> Optional[list]:
+        return self._core.config.reflective
+
+    @property
+    def beta(self) -> float:
+        return float(self._core.cur.beta)
+
+    @property
+    def logz(self) -> float:
+        return float(self._core.cur.logz)
+
+    @property
+    def ess(self) -> float:
+        return float(self._core.cur.ess)
+
+    @property
+    def cv(self) -> Optional[float]:
+        return float(self._core.cur.cv)
+
+    @property
+    def calls(self) -> int:
+        return int(self._core.cur.calls)
+
+    @property
+    def state(self):
+        """Access to internal state (history/current) for diagnostics."""
+        return self._core

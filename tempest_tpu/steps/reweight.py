@@ -1,0 +1,204 @@
+"""Reweighting step: adaptive temperature-ladder selection.
+
+TPU redesign of /root/reference/tempest/steps/reweight.py:11-495. The
+reference drives dozens of Python-level bisection probes per iteration, each
+rebuilding the full (N_hist x T) MIS weight matrix in NumPy; here the
+bracket search and the metric bisection are `lax.while_loop`s inside ONE
+jitted program, so the entire ladder selection runs on-device with zero
+host round-trips. Convergence rules, tolerances and edge-case semantics
+(stay-at-beta when ESS == target, jump-to-1 when ESS >= target throughout,
+dynamic/CV mode boundary logic) are preserved exactly — citations inline.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    BETA_RTOL,
+    BETA_TOLERANCE,
+    ESS_TOLERANCE,
+    MAX_BISECTION_ITERATIONS,
+    METRIC_ATOL,
+    METRIC_ATOL_CV,
+)
+from ..ops.tools import ess_from_logw, volume_variation
+from ..state import History, compute_logw_and_logz
+
+
+class ReweightResult(NamedTuple):
+    beta: jnp.ndarray  # () new inverse temperature
+    weights: jnp.ndarray  # (T_max*N,) normalized importance weights (masked)
+    ess: jnp.ndarray  # () effective sample size at beta
+    cv: jnp.ndarray  # () volume variation at beta
+    logz: jnp.ndarray  # () evidence estimate at beta
+
+
+def _beta_interval_tol(lo, hi):
+    """Bracket-scaled interval tolerance (reweight.py:188-199, 279-287)."""
+    scale = jnp.maximum(jnp.maximum(jnp.abs(lo), jnp.abs(hi)), jnp.finfo(lo.dtype).tiny)
+    return jnp.maximum(BETA_RTOL * scale, BETA_TOLERANCE * scale)
+
+
+def _make_metric_fns(hist: History, dynamic: bool):
+    """ess_at(beta) and metric_at(beta) evaluators over the masked history."""
+    s_mask = hist.sample_mask()
+    flat_u = hist.flat_u()
+
+    def ess_at(beta):
+        logw, _ = compute_logw_and_logz(hist, beta)
+        return ess_from_logw(logw)
+
+    def metric_at(beta):
+        logw, _ = compute_logw_and_logz(hist, beta)
+        ess = ess_from_logw(logw)
+        if dynamic:
+            w = jnp.exp(logw)
+            metric = volume_variation(flat_u, w, mask=s_mask)
+        else:
+            metric = ess
+        return metric, ess
+
+    return ess_at, metric_at
+
+
+def _find_ess_bracket(ess_at, beta_current, ess_target, dtype):
+    """Bracket [beta_low, beta_high] where ESS crosses the target.
+
+    Parity: reweight.py:225-297 including the <=-semantics (stay when ESS
+    already at/below target) and the jump-to-1.0 case.
+    """
+    one = jnp.asarray(1.0, dtype)
+    ess_cur = ess_at(beta_current)
+    ess_one = ess_at(one)
+
+    def bisect(_):
+        def cond(c):
+            lo, hi = c
+            return (hi - lo) > _beta_interval_tol(lo, hi)
+
+        def body(c):
+            lo, hi = c
+            mid = 0.5 * (lo + hi)
+            ess_mid = ess_at(mid)
+            lo = jnp.where(ess_mid >= ess_target, mid, lo)
+            hi = jnp.where(ess_mid >= ess_target, hi, mid)
+            return lo, hi
+
+        return jax.lax.while_loop(cond, body, (beta_current, one))
+
+    lo, hi = jax.lax.cond(
+        (ess_cur <= ess_target) | (ess_one >= ess_target),
+        lambda _: (beta_current, beta_current),
+        bisect,
+        operand=None,
+    )
+    # If ESS >= target all the way to 1.0: both endpoints are 1.0
+    jump = (ess_cur > ess_target) & (ess_one >= ess_target)
+    lo = jnp.where(jump, one, lo)
+    hi = jnp.where(jump, one, hi)
+    return lo, hi
+
+
+def _find_beta_bisection(metric_at, beta_min, beta_max, target, dynamic: bool):
+    """Metric-targeted bisection with dual (relative+absolute) tolerance.
+
+    Parity: reweight.py:120-223 — convergence when
+    |metric - target| < max(ESS_TOLERANCE*|target|, metric_atol) or the
+    bracket shrinks below the scaled beta tolerance or beta hits 1.0;
+    non-finite metrics count as 1e10; hard cap of 200 iterations.
+    """
+    metric_atol = METRIC_ATOL_CV if dynamic else METRIC_ATOL
+    dtype = beta_min.dtype
+
+    def cond(c):
+        return (~c["done"]) & (c["i"] < MAX_BISECTION_ITERATIONS)
+
+    def body(c):
+        lo, hi = c["lo"], c["hi"]
+        beta = 0.5 * (lo + hi)
+        metric, _ = metric_at(beta)
+        metric = jnp.where(jnp.isfinite(metric), metric, jnp.asarray(1e10, dtype))
+
+        metric_conv = jnp.abs(metric - target) < jnp.maximum(
+            ESS_TOLERANCE * jnp.abs(target), metric_atol
+        )
+        beta_conv = (hi - lo) < _beta_interval_tol(lo, hi)
+        done = metric_conv | beta_conv | (beta == 1.0)
+
+        if dynamic:
+            # CV increases with beta (reweight.py:212-220)
+            go_up = metric < target
+        else:
+            # ESS decreases with beta (reweight.py:204-211)
+            go_up = metric >= target
+        lo = jnp.where((~done) & go_up, beta, lo)
+        hi = jnp.where((~done) & (~go_up), beta, hi)
+        return {"lo": lo, "hi": hi, "beta": beta, "i": c["i"] + 1, "done": done}
+
+    init = {
+        "lo": beta_min,
+        "hi": beta_max,
+        "beta": 0.5 * (beta_min + beta_max),
+        "i": jnp.asarray(0, jnp.int32),
+        "done": jnp.asarray(False),
+    }
+    out = jax.lax.while_loop(cond, body, init)
+    return out["beta"]
+
+
+@partial(jax.jit, static_argnames=("dynamic",))
+def reweight(
+    hist: History,
+    beta_prev: jnp.ndarray,
+    ess_target: float,
+    cv_target: float = 0.0,
+    dynamic: bool = False,
+) -> ReweightResult:
+    """Select the next inverse temperature and compute MIS weights.
+
+    ESS mode (dynamic=False): reweight.py:393-426.
+    Dynamic/CV mode (dynamic=True): reweight.py:427-495 — the ESS bracket
+    bounds the search, then beta targets the volume-variation CV.
+    """
+    dtype = hist.logl.dtype
+    beta_prev = jnp.asarray(beta_prev, dtype)
+    ess_target = jnp.asarray(ess_target, dtype)
+
+    ess_at, metric_at = _make_metric_fns(hist, dynamic)
+    _, ess_metric_at = _make_metric_fns(hist, False)
+
+    beta_low, beta_high = _find_ess_bracket(ess_at, beta_prev, ess_target, dtype)
+    no_crossing = beta_low == beta_high
+
+    if not dynamic:
+        beta_bisect = _find_beta_bisection(
+            ess_metric_at, beta_prev, beta_high, ess_target, dynamic=False
+        )
+        beta = jnp.where(no_crossing, beta_low, beta_bisect)
+    else:
+        cv_target_arr = jnp.asarray(cv_target, dtype)
+        cv_prev, _ = metric_at(beta_prev)
+        cv_high, _ = metric_at(beta_high)
+        beta_cv = _find_beta_bisection(
+            metric_at, beta_prev, beta_high, cv_target_arr, dynamic=True
+        )
+        # Boundary logic (reweight.py:449-479): target above CV(beta_high)
+        # -> take beta_high; target below CV(beta_prev) -> stay; else bisect.
+        beta_sel = jnp.where(
+            cv_target_arr >= cv_high,
+            beta_high,
+            jnp.where(cv_target_arr <= cv_prev, beta_prev, beta_cv),
+        )
+        beta = jnp.where(no_crossing, beta_low, beta_sel)
+
+    # Final state at the selected beta
+    logw, logz = compute_logw_and_logz(hist, beta)
+    weights = jnp.exp(logw)  # normalized; masked entries are exp(-inf) = 0
+    ess = ess_from_logw(logw)
+    cv = volume_variation(hist.flat_u(), weights, mask=hist.sample_mask())
+    return ReweightResult(beta=beta, weights=weights, ess=ess, cv=cv, logz=logz)

@@ -1,0 +1,104 @@
+"""Training step: fit the clusterer and build per-mode Student-t statistics.
+
+TPU redesign of /root/reference/tempest/steps/train.py:12-127. Weight
+trimming and the per-mode Student-t EM fits are jitted fixed-shape kernels
+(see ops.tools.trim_weights_mask and modes.fit_mode_statistics); only the
+hierarchical split decisions run on the host.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..cluster import ClusterModel, HierarchicalGaussianMixture, single_cluster_model
+from ..config import TRIM_BINS, TRIM_ESS
+from ..modes import ModeStatistics, fit_global_mode, fit_mode_statistics
+from ..ops.tools import trim_weights_mask
+from ..state import History
+
+
+class Trainer:
+    """Fits clustering + mode statistics each iteration.
+
+    Holds the (mutable) HierarchicalGaussianMixture instance shared with the
+    resampler, mirroring the shared-clusterer wiring of core.py:57-89.
+    """
+
+    def __init__(
+        self,
+        n_dim: int,
+        k_max: int,
+        clustering: bool = True,
+        cluster_every: int = 1,
+        normalize: bool = True,
+        split_threshold: float = 1.0,
+        n_max_clusters: Optional[int] = None,
+        dof_fallback: float = 1e6,
+        resample_factor: int = 4,
+        n_particles: int = 256,
+        dtype=jnp.float32,
+    ):
+        self.n_dim = n_dim
+        self.k_max = k_max
+        self.clustering = clustering
+        self.cluster_every = cluster_every
+        self.dof_fallback = dof_fallback
+        self.dtype = dtype
+        # Fixed per-mode resample size for the Student-t fits. The reference
+        # resamples each cluster to 4x its member count (modes.py:196-205);
+        # a fixed size keeps shapes static under jit (see modes.py here).
+        self.n_resample = max(64, resample_factor * n_particles)
+        self.clusterer = None
+        if clustering:
+            self.clusterer = HierarchicalGaussianMixture(
+                n_init=1,
+                max_iterations=1000 if n_max_clusters is None else n_max_clusters - 1,
+                min_points=None if n_max_clusters is None else 4 * n_dim,
+                threshold_modifier=split_threshold,
+                covariance_type="full",
+                normalize=normalize,
+                k_max=k_max,
+            )
+        self._model: ClusterModel = single_cluster_model(n_dim, k_max, dtype)
+
+    @property
+    def cluster_model(self) -> ClusterModel:
+        return self._model
+
+    def run(
+        self,
+        key: jax.Array,
+        hist: History,
+        weights: jnp.ndarray,
+        iteration: int,
+    ) -> ModeStatistics:
+        """Trim weights, (re)fit clustering, fit per-mode Student-t stats.
+
+        Parity: train.py:65-127. Caller handles the beta=0 dummy-stats path.
+        """
+        keep_mask, w_trim = trim_weights_mask(
+            weights, mask=hist.sample_mask(), ess=TRIM_ESS, bins=TRIM_BINS
+        )
+        u_flat = hist.flat_u()
+
+        if self.clustering:
+            refit = iteration % self.cluster_every == 0 or iteration == 0
+            if refit or self.clusterer.model is None:
+                self.clusterer.fit(u_flat, w_trim, mask=keep_mask)
+                self._model = self.clusterer.model
+            labels = jnp.asarray(self.clusterer.predict(u_flat), dtype=jnp.int32)
+            return fit_mode_statistics(
+                key,
+                u_flat,
+                w_trim,
+                labels,
+                k_max=self.k_max,
+                n_resample=self.n_resample,
+                dof_fallback=self.dof_fallback,
+            )
+        return fit_global_mode(
+            key, u_flat, w_trim, n_resample=self.n_resample, dof_fallback=self.dof_fallback
+        )

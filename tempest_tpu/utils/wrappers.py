@@ -1,0 +1,134 @@
+"""Likelihood / prior-transform wrapping for the TPU execution model.
+
+Replaces the reference's pool/map likelihood fan-out (core.py:317-358,
+430-440): on TPU the model functions are JAX functions `vmap`-ed over the
+(shardable) particle axis. Three dispatch modes:
+
+- default: per-point JAX functions, vmapped;
+- vectorize=True: functions already accept (N, d) batches;
+- host_likelihood=True: arbitrary Python (non-JAX) likelihoods, bridged
+  into jit via `jax.pure_callback` (the escape hatch for external codes).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FunctionWrapper:
+    """Picklable closure binding extra args/kwargs (tools.py:270-309)."""
+
+    def __init__(self, f: Callable, args: Optional[List[Any]], kwargs: Optional[Dict[str, Any]]):
+        self.f = f
+        self.args = [] if args is None else args
+        self.kwargs = {} if kwargs is None else kwargs
+
+    def __call__(self, x):
+        return self.f(x, *self.args, **self.kwargs)
+
+
+def build_prior_transform(prior_transform: Callable, vectorize: bool) -> Callable:
+    """Batched u (N, d) -> x (N, d)."""
+    if vectorize:
+        return prior_transform
+    return jax.vmap(prior_transform)
+
+
+def build_log_likelihood(
+    log_likelihood: Callable,
+    vectorize: bool,
+    have_blobs: bool,
+    host_likelihood: bool,
+    n_particles: int,
+    dtype=jnp.float32,
+    blob_size: Optional[int] = None,
+    blobs_dtype=None,
+) -> Callable:
+    """Batched x (N, d) -> (logl (N,), blobs (N, B) | None)."""
+
+    if host_likelihood:
+        # Non-JAX escape hatch: evaluate on the host via pure_callback.
+        if have_blobs:
+            bdt = np.dtype(np.float32) if blobs_dtype is None else np.dtype(blobs_dtype)
+
+            def host_eval(xs):
+                out = [log_likelihood(np.asarray(x)) for x in np.asarray(xs)]
+                logl = np.array([float(o[0]) for o in out], dtype=np.float32)
+                blobs = np.array([np.atleast_1d(o[1]) for o in out], dtype=bdt)
+                return logl, blobs.reshape(len(out), -1)
+
+            def batched(x):
+                shape = (
+                    jax.ShapeDtypeStruct((n_particles,), jnp.float32),
+                    jax.ShapeDtypeStruct((n_particles, blob_size), jnp.dtype(bdt)),
+                )
+                logl, blobs = jax.pure_callback(host_eval, shape, x)
+                return logl.astype(dtype), blobs
+
+            return batched
+
+        def host_eval_plain(xs):
+            arr = np.asarray(xs)
+            return np.array([float(log_likelihood(x)) for x in arr], dtype=np.float32)
+
+        def batched_plain(x):
+            shape = jax.ShapeDtypeStruct((n_particles,), jnp.float32)
+            logl = jax.pure_callback(host_eval_plain, shape, x)
+            return logl.astype(dtype), None
+
+        return batched_plain
+
+    if vectorize:
+        # Already-batched JAX function; blobs unsupported (config validates).
+        def batched_vec(x):
+            out = log_likelihood(x)
+            return jnp.asarray(out, dtype=dtype), None
+
+        return batched_vec
+
+    if have_blobs:
+        def per_point(x):
+            out = log_likelihood(x)
+            logl, blob = out[0], out[1]
+            return jnp.asarray(logl, dtype=dtype), jnp.atleast_1d(jnp.asarray(blob)).reshape(-1)
+
+        vmapped = jax.vmap(per_point)
+
+        def batched_blob(x):
+            logl, blobs = vmapped(x)
+            return logl, blobs
+
+        return batched_blob
+
+    def per_point_plain(x):
+        return jnp.asarray(log_likelihood(x), dtype=dtype)
+
+    vmapped_plain = jax.vmap(per_point_plain)
+
+    def batched_jax(x):
+        return vmapped_plain(x), None
+
+    return batched_jax
+
+
+def infer_blob_size(
+    log_likelihood: Callable,
+    n_dim: int,
+    have_blobs: bool,
+    host_likelihood: bool,
+    blobs_dtype=None,
+) -> Optional[int]:
+    """Determine the flattened blob width B without running device code."""
+    if not have_blobs:
+        return None
+    if host_likelihood:
+        # Evaluate once on the host with a midpoint draw.
+        out = log_likelihood(np.full(n_dim, 0.5))
+        return int(np.atleast_1d(out[1]).size)
+    shape = jax.eval_shape(log_likelihood, jax.ShapeDtypeStruct((n_dim,), jnp.float32))
+    blob = shape[1]
+    return int(np.prod(blob.shape)) if blob.shape else 1
