@@ -111,7 +111,12 @@ def _m_step(X, resp, sample_weight, covariance_type: str):
         covs = jnp.einsum("nk,nki,nkj->kij", wresp, diff, diff)
         covs = covs / (nk[:, None, None] + _EPS)
     elif covariance_type == "tied":
-        tied = jnp.einsum("nk,nki,nkj->ij", wresp, diff, diff) / n
+        # Deviation from the reference (cluster.py:227-232), which divides
+        # the weight-normalized scatter by n_samples a second time and is
+        # untested numerically (its test checks shapes only): normalize by
+        # the total responsibility mass for a correct pooled covariance.
+        tied = jnp.einsum("nk,nki,nkj->ij", wresp, diff, diff)
+        tied = tied / jnp.maximum(jnp.sum(nk), _EPS)
         covs = jnp.broadcast_to(tied, (means.shape[0], d, d))
     elif covariance_type == "diag":
         var = jnp.einsum("nk,nki->ki", wresp, diff * diff) / (nk[:, None] + _EPS)

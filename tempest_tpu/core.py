@@ -106,6 +106,17 @@ class SamplerCore:
             dtype=cfg.dtype,
         )
 
+        # Clustering-off fast path: the entire iteration (reweight + train +
+        # resample + mutate + commit) fuses into ONE jitted program — a
+        # single device dispatch per PS iteration (see fused.py).
+        self._fused_iter = None
+        if not cfg.clustering:
+            from .fused import make_fused_iteration
+
+            self._fused_iter = make_fused_iteration(
+                cfg, self._loglike_batch, self._prior_batch
+            )
+
         seed = cfg.random_state if cfg.random_state is not None else 0
         self.key = jax.random.PRNGKey(seed)
         self.hist: History = make_history(
@@ -131,6 +142,29 @@ class SamplerCore:
         )
 
     # ------------------------------------------------------------------
+    def reset(self, random_state: Optional[int] = None) -> None:
+        """Clear sampler state for a fresh run while KEEPING all compiled
+        kernels (jit caches are per-closure; rebuilding a Sampler would
+        recompile everything)."""
+        cfg = self.config
+        seed = (
+            random_state
+            if random_state is not None
+            else (cfg.random_state if cfg.random_state is not None else 0)
+        )
+        self.key = jax.random.PRNGKey(seed)
+        self.hist = make_history(
+            cfg.history_capacity, cfg.n_particles, cfg.n_dim,
+            dtype=cfg.dtype, blob_size=self.blob_size, blobs_dtype=cfg.blobs_dtype,
+        )
+        self.cur = make_current(
+            cfg.n_particles, cfg.n_dim, dtype=cfg.dtype,
+            blob_size=self.blob_size, blobs_dtype=cfg.blobs_dtype,
+        )
+        self.n_total = None
+        self.logz_err = None
+        self.t0 = 0
+
     def _next_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
         return sub
@@ -146,8 +180,13 @@ class SamplerCore:
         progress: bool = True,
         resume_state_path: Optional[Union[str, Path]] = None,
         save_every: Optional[int] = None,
+        on_device: bool = False,
     ) -> None:
-        """Full annealing run. Parity: core.py:110-160."""
+        """Full annealing run. Parity: core.py:110-160.
+
+        on_device=True (clustering off, no periodic saving): the entire
+        annealing loop executes as one device program (fused.make_fused_run)
+        with zero per-iteration host round-trips."""
         if resume_state_path is not None:
             self.load_sampler_state(resume_state_path)
             t0 = int(self.cur.iteration)
@@ -167,8 +206,11 @@ class SamplerCore:
             )
         )
 
-        while self._not_termination():
-            self.execute_iteration(save_every=save_every, t0=t0)
+        if on_device and self._fused_iter is not None and save_every is None:
+            self._run_on_device(n_total)
+        else:
+            while self._not_termination():
+                self.execute_iteration(save_every=save_every, t0=t0)
 
         # Final evidence at beta=1 over the whole history (core.py:148-151)
         _, logz = compute_logw_and_logz(self.hist, 1.0)
@@ -180,6 +222,34 @@ class SamplerCore:
                 self.config.output_dir / f"{self.config.output_label}_final.state"
             )
         self.pbar.close()
+
+    def _run_on_device(self, n_total: int) -> None:
+        """Drive the whole-run device loop, growing capacity and re-entering
+        if the history fills before termination."""
+        from .fused import make_fused_run
+
+        if int(self.hist.t) == 0:
+            self.execute_iteration()  # warm-up iteration (host-dispatched)
+
+        if not hasattr(self, "_fused_run"):
+            self._fused_run = make_fused_run(
+                self.config, self._loglike_batch, self._prior_batch
+            )
+        runner = self._fused_run
+
+        while True:
+            self.hist, self.cur = runner(
+                self._next_key(), self.hist, self.cur, jnp.asarray(n_total, jnp.int32)
+            )
+            if self.pbar is not None:
+                if self.pbar.progress_bar is not None:
+                    self.pbar.progress_bar.update(
+                        int(self.hist.t) - self.pbar.progress_bar.n
+                    )
+                self._update_progress_bar()
+            if not self._not_termination():
+                break
+            self._ensure_capacity()  # loop exited because capacity filled
 
     def _not_termination(self) -> bool:
         """Continue while (1 - beta >= 1e-4) or posterior ESS < n_total.
@@ -203,30 +273,30 @@ class SamplerCore:
 
         self._ensure_capacity()
         cfg = self.config
+
+        if self._fused_iter is not None and int(self.hist.t) > 0:
+            # Single-dispatch fused iteration (clustering off)
+            if self.pbar is not None:
+                self.pbar.update_iter()
+            self.hist, self.cur = self._fused_iter(self._next_key(), self.hist, self.cur)
+            self._update_progress_bar()
+            return self.get_current_dict()
+
         iteration = int(self.cur.iteration) + 1
         self.cur = self.cur.replace(iteration=jnp.asarray(iteration, jnp.int32))
         if self.pbar is not None:
             self.pbar.update_iter()
 
         if int(self.hist.t) == 0:
-            # --- warm-up iteration (beta = 0) -------------------------
+            # --- first iteration: no reweighting possible -------------
             ess0 = cfg.ess_ratio * self.n_particles
             self.cur = self.cur.replace(
                 beta=jnp.asarray(0.0, self.dtype),
                 logz=jnp.asarray(0.0, self.dtype),
                 ess=jnp.asarray(ess0, self.dtype),
                 cv=jnp.asarray(0.0, self.dtype),
-                assignments=jnp.zeros((self.n_particles,), jnp.int32),
             )
-            wr = self._warmup(self._next_key())
-            self.cur = self.cur.replace(
-                u=wr.u, x=wr.x, logl=wr.logl, blobs=wr.blobs,
-                logz=self.cur.logz + wr.logz_correction,
-                calls=self.cur.calls + self.n_particles,
-                steps=jnp.asarray(1, jnp.int32),
-                acceptance=jnp.asarray(1.0, self.dtype),
-                efficiency=jnp.asarray(1.0, self.dtype),
-            )
+            self._run_warmup_mutation()
         else:
             # --- reweight ---------------------------------------------
             rw = reweight_step(
@@ -242,6 +312,15 @@ class SamplerCore:
                 ess=rw.ess.astype(self.dtype),
                 cv=rw.cv.astype(self.dtype),
             )
+
+            if float(rw.beta) == 0.0:
+                # Still at beta=0: the target is the prior, so train and
+                # resample are skipped and fresh prior samples are drawn
+                # (train.py:79-88, resample.py:68-72, mutate.py:99-149).
+                self._run_warmup_mutation()
+                self._update_progress_bar()
+                self.hist = commit(self.hist, self.cur)
+                return self.get_current_dict()
 
             # --- train -------------------------------------------------
             mode_stats = self.trainer.run(
@@ -281,6 +360,20 @@ class SamplerCore:
         self._update_progress_bar()
         self.hist = commit(self.hist, self.cur)
         return self.get_current_dict()
+
+    def _run_warmup_mutation(self):
+        """beta=0 mutation: fresh prior draws with the infinite-logl patch
+        and logZ correction (mutate.py:99-149)."""
+        wr = self._warmup(self._next_key())
+        self.cur = self.cur.replace(
+            u=wr.u, x=wr.x, logl=wr.logl, blobs=wr.blobs,
+            assignments=jnp.zeros((self.n_particles,), jnp.int32),
+            logz=self.cur.logz + wr.logz_correction,
+            calls=self.cur.calls + self.n_particles,
+            steps=jnp.asarray(1, jnp.int32),
+            acceptance=jnp.asarray(1.0, self.dtype),
+            efficiency=jnp.asarray(1.0, self.dtype),
+        )
 
     # ------------------------------------------------------------------
     def compute_posterior(

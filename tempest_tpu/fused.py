@@ -1,0 +1,191 @@
+"""Fused one-iteration PS step: the whole pipeline in a single jitted program.
+
+For the global-preconditioner path (clustering disabled) the complete
+iteration — reweight (bracket + beta bisection), weight trimming, Student-t
+training, resampling, and the full adaptive MCMC mutation — compiles into
+ONE XLA program with no host round-trips. This is both the single-chip
+speed-of-light path and the multi-chip SPMD path: with the history/current
+buffers sharded over a `particles` mesh axis, XLA inserts the psum /
+all-gather collectives for the weight reductions and resampling gathers.
+
+(The clustered path keeps the hierarchical split decisions on the host —
+see steps/train.py — and fuses everything else.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import DOF_FALLBACK, TRIM_BINS, TRIM_ESS, SamplerConfig
+from .mcmc import make_mcmc_kernel
+from .modes import fit_global_mode
+from .ops.boundary import make_boundary_masks
+from .ops.tools import trim_weights_mask
+from .state import Current, History, commit, compute_logw_and_logz
+from .steps.mutate import make_warmup_kernel
+from .steps.resample import resample as resample_step
+from .steps.reweight import reweight as reweight_step
+from .cluster import single_cluster_model
+
+
+def _make_iteration_fn(
+    config: SamplerConfig,
+    log_likelihood_batch: Callable,
+    prior_transform_batch: Callable,
+) -> Callable:
+    """Unjitted single-iteration fn: (key, hist, cur) -> (hist, cur).
+
+    Requires clustering=False (global Student-t preconditioner). The caller
+    handles the warm-up (t == 0) iteration and capacity growth.
+    """
+    cfg = config
+    p_mask, r_mask, s_mask = make_boundary_masks(cfg.n_dim, cfg.periodic, cfg.reflective)
+    mcmc = make_mcmc_kernel(
+        log_likelihood_batch,
+        prior_transform_batch,
+        cfg.n_dim,
+        method=cfg.sample,
+        n_steps=cfg.n_steps,
+        n_max_steps=cfg.n_max_steps,
+        periodic_mask=p_mask,
+        reflective_mask=r_mask,
+        strict_mask=s_mask,
+        have_blobs=cfg.blobs_dtype is not None,
+    )
+    n_resample = max(64, 4 * cfg.n_particles)
+    dummy_cluster = single_cluster_model(cfg.n_dim, 1, cfg.dtype)
+    warmup = make_warmup_kernel(
+        log_likelihood_batch, prior_transform_batch, cfg.n_particles, cfg.n_dim, cfg.dtype
+    )
+
+    def _mutate_branch(args):
+        key, hist, cur = args
+        k_train, k_res, k_mut = jax.random.split(key, 3)
+        logw, _ = compute_logw_and_logz(hist, cur.beta)
+        weights = jnp.exp(logw)
+        _, w_trim = trim_weights_mask(
+            weights, mask=hist.sample_mask(), ess=TRIM_ESS, bins=TRIM_BINS
+        )
+        modes = fit_global_mode(
+            k_train, hist.flat_u(), w_trim, n_resample=n_resample, dof_fallback=DOF_FALLBACK
+        )
+        u, x, logl, blobs, assignments = resample_step(
+            k_res, hist, weights, dummy_cluster, cfg.n_particles,
+            method=cfg.resample, clustering=False,
+        )
+        res = mcmc(k_mut, u, x, logl, blobs, assignments, cur.beta, modes)
+        return cur.replace(
+            u=res.u, x=res.x, logl=res.logl, blobs=res.blobs,
+            assignments=assignments,
+            efficiency=res.efficiency.astype(cfg.dtype),
+            acceptance=res.acceptance.astype(cfg.dtype),
+            steps=res.steps,
+            calls=cur.calls + res.n_calls,
+        )
+
+    def _warmup_branch(args):
+        key, hist, cur = args
+        wr = warmup(key)
+        return cur.replace(
+            u=wr.u, x=wr.x, logl=wr.logl, blobs=wr.blobs,
+            assignments=jnp.zeros((cfg.n_particles,), jnp.int32),
+            logz=cur.logz + wr.logz_correction,
+            calls=cur.calls + cfg.n_particles,
+            steps=jnp.asarray(1, jnp.int32),
+            acceptance=jnp.asarray(1.0, cfg.dtype),
+            efficiency=jnp.asarray(1.0, cfg.dtype),
+        )
+
+    def iteration(key: jax.Array, hist: History, cur: Current) -> Tuple[History, Current]:
+        # --- reweight -----------------------------------------------------
+        rw = reweight_step(
+            hist,
+            cur.beta,
+            cfg.ess_ratio * cfg.n_particles,
+            cv_target=cfg.volume_variation or 0.0,
+            dynamic=cfg.volume_variation is not None,
+        )
+        cur = cur.replace(
+            beta=rw.beta.astype(cfg.dtype),
+            logz=rw.logz.astype(cfg.dtype),
+            ess=rw.ess.astype(cfg.dtype),
+            cv=rw.cv.astype(cfg.dtype),
+            iteration=cur.iteration + 1,
+        )
+
+        # beta == 0: target is still the prior — fresh draws instead of
+        # train/resample/MCMC (train.py:79-88, resample.py:68-72,
+        # mutate.py:99-149). Otherwise the full mutate pipeline.
+        cur = jax.lax.cond(
+            cur.beta == 0.0, _warmup_branch, _mutate_branch, (key, hist, cur)
+        )
+
+        hist = commit(hist, cur)
+        return hist, cur
+
+    return iteration
+
+
+def make_fused_iteration(
+    config: SamplerConfig,
+    log_likelihood_batch: Callable,
+    prior_transform_batch: Callable,
+) -> Callable:
+    """Jitted single PS iteration: (key, hist, cur) -> (hist, cur)."""
+    return jax.jit(_make_iteration_fn(config, log_likelihood_batch, prior_transform_batch))
+
+
+def make_fused_run(
+    config: SamplerConfig,
+    log_likelihood_batch: Callable,
+    prior_transform_batch: Callable,
+) -> Callable:
+    """The whole annealing run as ONE device program.
+
+    `lax.while_loop` over fused iterations with the reference's termination
+    predicate (continue while 1 - beta >= 1e-4 or posterior ESS < n_total;
+    core.py:360-374) evaluated on-device, bounded by the history capacity.
+    Zero host round-trips between iterations — this is the speed-of-light
+    single-chip path and the multi-chip SPMD path (shard hist/cur on the
+    particle axis before calling).
+
+    Caller must have committed the warm-up iteration (hist.t >= 1) and
+    sized the history capacity for the full run; if the capacity fills
+    before termination, the loop exits early with hist.t == capacity and
+    the caller can grow + re-enter.
+    """
+    iteration = _make_iteration_fn(config, log_likelihood_batch, prior_transform_batch)
+    from .ops.tools import ess_from_logw
+
+    @jax.jit
+    def run(
+        key: jax.Array, hist: History, cur: Current, n_total
+    ) -> Tuple[History, Current]:
+        capacity = hist.capacity
+
+        def cond(c):
+            _, hist, cur = c
+            logw, _ = compute_logw_and_logz(hist, 1.0)
+            ess = ess_from_logw(logw)
+            not_term = (1.0 - cur.beta >= 1e-4) | (ess < n_total)
+            return not_term & (hist.t < capacity)
+
+        def body(c):
+            key, hist, cur = c
+            key, k = jax.random.split(key)
+            hist, cur = iteration(k, hist, cur)
+            return key, hist, cur
+
+        key, hist, cur = jax.lax.while_loop(cond, body, (key, hist, cur))
+
+        # Final evidence at beta=1 over the full history (core.py:148-151)
+        _, logz = compute_logw_and_logz(hist, 1.0)
+        cur = cur.replace(logz=logz.astype(cfg.dtype))
+        return hist, cur
+
+    cfg = config
+    return run

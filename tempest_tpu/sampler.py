@@ -107,14 +107,19 @@ class Sampler:
         progress: bool = True,
         resume_state_path: Union[str, Path, None] = None,
         save_every: Optional[int] = None,
+        on_device: bool = False,
     ):
         """Run Persistent Sampling until beta reaches 1 and the posterior
-        ESS reaches n_total. Parity: sampler.py:163-193."""
+        ESS reaches n_total. Parity: sampler.py:163-193.
+
+        on_device=True compiles the whole annealing loop into one device
+        program (requires clustering=False and save_every=None)."""
         return self._core.run_sampling(
             n_total=n_total,
             progress=progress,
             resume_state_path=resume_state_path,
             save_every=save_every,
+            on_device=on_device,
         )
 
     def sample(self, save_every: Optional[int] = None, t0: int = 0) -> dict:
@@ -154,6 +159,10 @@ class Sampler:
     def results(self) -> dict:
         """Full per-iteration history + final log-weights."""
         return self._core.compute_results()
+
+    def reset(self, random_state=None):
+        """Clear state for a fresh run, keeping compiled kernels."""
+        self._core.reset(random_state=random_state)
 
     # ------------------------------------------------------------------
     @property

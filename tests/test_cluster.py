@@ -1,0 +1,153 @@
+"""Clustering tests — ports of reference tests/test_cluster.py semantics:
+weighted GMM fits, covariance types, BIC, hierarchical splitting, min_points,
+normalization, predict/predict_proba."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tempest_tpu.cluster import (
+    HierarchicalGaussianMixture,
+    cluster_predict,
+    cluster_predict_proba,
+    gmm_bic,
+    gmm_fit,
+    gmm_predict,
+)
+
+
+def two_blobs(n=200, sep=4.0, seed=0, d=2):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, d)) * 0.3
+    b = rng.standard_normal((n, d)) * 0.3 + sep
+    return np.concatenate([a, b])
+
+
+class TestGMM:
+    def test_single_component_fit(self):
+        rng = np.random.default_rng(0)
+        X = jnp.asarray(rng.standard_normal((500, 2)) + 3.0)
+        p = gmm_fit(jax.random.PRNGKey(0), X, jnp.ones(500), 1)
+        np.testing.assert_allclose(np.array(p.means[0]), [3.0, 3.0], atol=0.2)
+        np.testing.assert_allclose(np.array(p.covariances[0]), np.eye(2), atol=0.3)
+
+    def test_two_component_fit(self):
+        X = jnp.asarray(two_blobs())
+        p = gmm_fit(jax.random.PRNGKey(1), X, jnp.ones(400), 2)
+        means = np.sort(np.array(p.means)[:, 0])
+        np.testing.assert_allclose(means, [0.0, 4.0], atol=0.3)
+        np.testing.assert_allclose(np.array(p.weights), [0.5, 0.5], atol=0.1)
+
+    @pytest.mark.parametrize("ctype", ["full", "tied", "diag", "spherical"])
+    def test_covariance_types(self, ctype):
+        rng = np.random.default_rng(2)
+        X = jnp.asarray(rng.standard_normal((300, 2)))
+        p = gmm_fit(jax.random.PRNGKey(2), X, jnp.ones(300), 1, covariance_type=ctype)
+        cov = np.array(p.covariances[0])
+        assert cov.shape == (2, 2)
+        assert np.all(np.isfinite(cov))
+        np.testing.assert_allclose(np.diag(cov), [1.0, 1.0], atol=0.35)
+
+    def test_sample_weights_shift_fit(self):
+        X = jnp.asarray(two_blobs(seed=3))
+        w = jnp.concatenate([jnp.ones(200), jnp.zeros(200)])
+        p = gmm_fit(jax.random.PRNGKey(3), X, w, 1)
+        np.testing.assert_allclose(np.array(p.means[0]), [0.0, 0.0], atol=0.2)
+
+    def test_predict(self):
+        X = jnp.asarray(two_blobs(seed=4))
+        p = gmm_fit(jax.random.PRNGKey(4), X, jnp.ones(400), 2)
+        labels = np.array(gmm_predict(p, X))
+        # the two halves should be (almost entirely) in different clusters
+        assert abs(labels[:200].mean() - labels[200:].mean()) > 0.9
+
+    def test_bic_prefers_two_for_bimodal(self):
+        X = jnp.asarray(two_blobs(seed=5, sep=6.0))
+        w = jnp.ones(400)
+        p1 = gmm_fit(jax.random.PRNGKey(5), X, w, 1)
+        p2 = gmm_fit(jax.random.PRNGKey(5), X, w, 2)
+        assert float(gmm_bic(p2, X)) < float(gmm_bic(p1, X))
+
+    def test_bic_prefers_one_for_unimodal(self):
+        rng = np.random.default_rng(6)
+        X = jnp.asarray(rng.standard_normal((400, 2)))
+        w = jnp.ones(400)
+        p1 = gmm_fit(jax.random.PRNGKey(6), X, w, 1)
+        p2 = gmm_fit(jax.random.PRNGKey(6), X, w, 2)
+        # BIC penalty should keep K=1 competitive (within penalty magnitude)
+        assert float(gmm_bic(p1, X)) <= float(gmm_bic(p2, X)) + 50.0
+
+
+class TestHGM:
+    def test_splits_bimodal(self):
+        X = two_blobs(seed=7, sep=8.0)
+        hgm = HierarchicalGaussianMixture(k_max=8)
+        hgm.fit(X)
+        assert hgm.n_clusters_ == 2
+        labels = hgm.labels_
+        assert abs(labels[:200].mean() - labels[200:].mean()) > 0.9
+
+    def test_no_split_unimodal(self):
+        rng = np.random.default_rng(8)
+        X = rng.standard_normal((300, 2))
+        hgm = HierarchicalGaussianMixture(k_max=8)
+        hgm.fit(X)
+        assert hgm.n_clusters_ == 1
+
+    def test_min_points_blocks_split(self):
+        X = two_blobs(n=12, seed=9, sep=8.0)
+        hgm = HierarchicalGaussianMixture(min_points=20, k_max=8)
+        hgm.fit(X)
+        assert hgm.n_clusters_ == 1
+
+    def test_threshold_modifier_blocks_split(self):
+        X = two_blobs(seed=10, sep=5.0)
+        hgm = HierarchicalGaussianMixture(threshold_modifier=1e6, k_max=8)
+        hgm.fit(X)
+        assert hgm.n_clusters_ == 1
+
+    def test_invalid_threshold_raises(self):
+        with pytest.raises(ValueError):
+            HierarchicalGaussianMixture(threshold_modifier=0.0)
+
+    def test_normalize_path(self):
+        X = two_blobs(seed=11, sep=8.0) * np.array([1000.0, 0.001])
+        hgm = HierarchicalGaussianMixture(normalize=True, k_max=8)
+        hgm.fit(X)
+        assert hgm.n_clusters_ == 2
+        pred = hgm.predict(X)
+        assert abs(pred[:200].mean() - pred[200:].mean()) > 0.9
+
+    def test_predict_proba_sums_to_one(self):
+        X = two_blobs(seed=12, sep=8.0)
+        hgm = HierarchicalGaussianMixture(k_max=8)
+        hgm.fit(X)
+        proba = hgm.predict_proba(X)
+        assert proba.shape == (400, hgm.n_clusters_)
+        np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-4)
+
+    def test_weighted_fit(self):
+        X = two_blobs(seed=13, sep=8.0)
+        # Zero weight on second blob -> no split
+        w = np.concatenate([np.ones(200), np.zeros(200) + 1e-12])
+        hgm = HierarchicalGaussianMixture(k_max=8)
+        hgm.fit(X, sample_weight=w)
+        assert hgm.n_clusters_ == 1
+
+    def test_masked_fit(self):
+        X = np.concatenate([two_blobs(seed=14, sep=8.0), np.full((50, 2), 100.0)])
+        mask = np.arange(450) < 400
+        hgm = HierarchicalGaussianMixture(k_max=8)
+        hgm.fit(X, mask=mask)
+        assert hgm.n_clusters_ == 2
+
+    def test_k_max_cap(self):
+        rng = np.random.default_rng(15)
+        # 4 well-separated blobs but k_max=2
+        X = np.concatenate(
+            [rng.standard_normal((100, 2)) * 0.2 + c for c in [0, 10, 20, 30]]
+        )
+        hgm = HierarchicalGaussianMixture(k_max=2)
+        hgm.fit(X)
+        assert hgm.n_clusters_ <= 2

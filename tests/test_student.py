@@ -1,0 +1,64 @@
+"""Student-t EM fit tests — ports of reference tests/test_student.py semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tempest_tpu.student import fit_mvstud
+
+
+class TestFitMVStud:
+    def test_gaussian_data_large_nu(self):
+        rng = np.random.default_rng(0)
+        data = jnp.asarray(rng.standard_normal((2000, 2)))
+        mu, Sigma, nu = fit_mvstud(data)
+        # Gaussian data: nu should be very large or inf (Gaussian limit)
+        assert float(nu) > 20.0 or np.isinf(float(nu))
+        np.testing.assert_allclose(np.array(mu), [0.0, 0.0], atol=0.15)
+        np.testing.assert_allclose(np.array(Sigma), np.eye(2), atol=0.2)
+
+    def test_heavy_tailed_data_small_nu(self):
+        rng = np.random.default_rng(1)
+        nu_true = 3.0
+        g = rng.standard_normal((4000, 2))
+        s = rng.chisquare(nu_true, size=4000) / nu_true
+        data = jnp.asarray(g / np.sqrt(s)[:, None])
+        mu, Sigma, nu = fit_mvstud(data)
+        assert np.isfinite(float(nu))
+        assert 1.0 < float(nu) < 10.0
+
+    def test_1d_data(self):
+        rng = np.random.default_rng(2)
+        data = jnp.asarray(rng.standard_normal((500, 1)) * 2.0 + 3.0)
+        mu, Sigma, nu = fit_mvstud(data)
+        assert mu.shape == (1,)
+        assert Sigma.shape == (1, 1)
+        np.testing.assert_allclose(float(mu[0]), 3.0, atol=0.3)
+
+    def test_constant_data_no_nan(self):
+        data = jnp.ones((100, 3))
+        mu, Sigma, nu = fit_mvstud(data)
+        assert np.all(np.isfinite(np.array(mu)))
+        assert np.all(np.isfinite(np.array(Sigma)))
+
+    def test_positive_definite_output(self):
+        rng = np.random.default_rng(3)
+        # Degenerate: data on a line
+        t = rng.standard_normal(200)
+        data = jnp.asarray(np.stack([t, 2 * t], axis=1))
+        mu, Sigma, nu = fit_mvstud(data)
+        eigs = np.linalg.eigvalsh(np.array(Sigma))
+        assert np.all(eigs > 0)
+
+    def test_reproducibility(self):
+        rng = np.random.default_rng(4)
+        data = jnp.asarray(rng.standard_normal((300, 2)))
+        out1 = fit_mvstud(data)
+        out2 = fit_mvstud(data)
+        np.testing.assert_array_equal(np.array(out1[0]), np.array(out2[0]))
+        np.testing.assert_array_equal(np.array(out1[1]), np.array(out2[1]))
+
+    def test_mean_recovery_offset(self):
+        rng = np.random.default_rng(5)
+        data = jnp.asarray(rng.standard_normal((1000, 3)) + np.array([1.0, -2.0, 0.5]))
+        mu, Sigma, nu = fit_mvstud(data)
+        np.testing.assert_allclose(np.array(mu), [1.0, -2.0, 0.5], atol=0.2)
