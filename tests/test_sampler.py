@@ -1,0 +1,302 @@
+"""Sampler API + feature integration tests — ports of reference
+tests/test_sampler.py, test_sampler_features.py, test_sample_method.py,
+test_posterior_evidence.py, test_state.py behaviors on small problems."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tempest_tpu import Sampler
+
+N_DIM = 2
+LO, HI = -5.0, 5.0
+TRUE_LOGZ = -N_DIM * np.log(HI - LO)
+
+
+def prior_transform(u):
+    return LO + (HI - LO) * u
+
+
+def log_likelihood(x):
+    return -0.5 * jnp.sum(x**2) - 0.5 * N_DIM * jnp.log(2 * jnp.pi)
+
+
+def make_sampler(**kw):
+    defaults = dict(
+        n_dim=N_DIM, n_particles=128, clustering=False, random_state=0
+    )
+    defaults.update(kw)
+    return Sampler(prior_transform, log_likelihood, **defaults)
+
+
+class TestBasicRun:
+    def test_run_and_evidence(self):
+        s = make_sampler()
+        s.run(n_total=512, progress=False)
+        logz, logz_err = s.evidence()
+        assert logz_err is None
+        assert abs(logz - TRUE_LOGZ) < 0.5
+        assert s.beta == 1.0
+
+    def test_posterior_moments(self):
+        s = make_sampler()
+        s.run(n_total=512, progress=False)
+        x, w, logl = s.posterior()
+        mean = np.average(x, axis=0, weights=w)
+        var = np.average((x - mean) ** 2, axis=0, weights=w)
+        np.testing.assert_allclose(mean, 0.0, atol=0.25)
+        np.testing.assert_allclose(var, 1.0, atol=0.5)
+
+    def test_posterior_resample(self):
+        s = make_sampler()
+        s.run(n_total=512, progress=False)
+        x, w, logl = s.posterior(resample=True)
+        assert np.allclose(w, w[0])  # uniform after resampling
+
+    def test_posterior_return_logw(self):
+        s = make_sampler()
+        s.run(n_total=512, progress=False)
+        out = s.posterior(return_logw=True)
+        assert len(out) == 4
+        x, w, logl, logw = out
+        assert logw.shape == w.shape
+
+    def test_properties(self):
+        s = make_sampler(n_particles=64)
+        assert s.n_dim == N_DIM
+        assert s.n_particles == 64
+        assert s.ess_ratio == 2.0
+        assert s.clustering is False
+        assert s.resample == "mult"
+
+    def test_default_n_particles(self):
+        s = Sampler(prior_transform, log_likelihood, n_dim=N_DIM)
+        assert s.n_particles == 2 * N_DIM
+
+    def test_results_dict(self):
+        s = make_sampler()
+        s.run(n_total=512, progress=False)
+        r = s.results()
+        t = len(r["beta"])
+        assert t >= 2
+        assert r["u"].shape == (t, 128, N_DIM)
+        assert r["beta"][-1] == 1.0
+        assert len(r["logw"]) == t * 128
+
+    def test_run_on_device_matches_host_loop(self):
+        s1 = make_sampler(random_state=3)
+        s1.run(n_total=512, progress=False)
+        s2 = make_sampler(random_state=3)
+        s2.run(n_total=512, progress=False, on_device=True)
+        assert abs(s1.evidence()[0] - s2.evidence()[0]) < 0.6
+        assert s2.beta == 1.0
+
+
+class TestSamplerVariants:
+    def test_rwm(self):
+        s = make_sampler(sample="rwm")
+        s.run(n_total=512, progress=False)
+        assert abs(s.evidence()[0] - TRUE_LOGZ) < 0.7
+
+    def test_systematic_resample(self):
+        s = make_sampler(resample="syst")
+        s.run(n_total=512, progress=False)
+        assert abs(s.evidence()[0] - TRUE_LOGZ) < 0.5
+
+    def test_clustering_on(self):
+        s = make_sampler(clustering=True)
+        s.run(n_total=512, progress=False)
+        assert abs(s.evidence()[0] - TRUE_LOGZ) < 0.5
+
+    def test_vectorized_likelihood(self):
+        def loglike_vec(x):
+            return -0.5 * jnp.sum(x**2, axis=-1) - 0.5 * N_DIM * jnp.log(2 * jnp.pi)
+
+        s = Sampler(
+            prior_transform, loglike_vec, n_dim=N_DIM, n_particles=128,
+            vectorize=True, clustering=False, random_state=0,
+        )
+        s.run(n_total=512, progress=False)
+        assert abs(s.evidence()[0] - TRUE_LOGZ) < 0.5
+
+    def test_likelihood_args_kwargs(self):
+        def loglike(x, scale, offset=0.0):
+            return -0.5 * jnp.sum(((x - offset) / scale) ** 2) - 0.5 * N_DIM * jnp.log(
+                2 * jnp.pi * scale**2
+            )
+
+        s = Sampler(
+            prior_transform, loglike, n_dim=N_DIM, n_particles=128,
+            log_likelihood_args=[1.0], log_likelihood_kwargs={"offset": 0.0},
+            clustering=False, random_state=0,
+        )
+        s.run(n_total=512, progress=False)
+        assert abs(s.evidence()[0] - TRUE_LOGZ) < 0.5
+
+    def test_1d_problem(self):
+        def pt(u):
+            return LO + (HI - LO) * u
+
+        def ll(x):
+            return -0.5 * jnp.sum(x**2) - 0.5 * jnp.log(2 * jnp.pi)
+
+        s = Sampler(pt, ll, n_dim=1, n_particles=64, clustering=False, random_state=0)
+        s.run(n_total=256, progress=False)
+        assert abs(s.evidence()[0] - (-np.log(HI - LO))) < 0.5
+
+    def test_periodic(self):
+        s = make_sampler(periodic=[0])
+        s.run(n_total=256, progress=False)
+        assert abs(s.evidence()[0] - TRUE_LOGZ) < 0.7
+
+    def test_reflective(self):
+        s = make_sampler(reflective=[1])
+        s.run(n_total=256, progress=False)
+        assert abs(s.evidence()[0] - TRUE_LOGZ) < 0.7
+
+    def test_dynamic_mode(self):
+        s = make_sampler(volume_variation=0.5, n_particles=64)
+        s.run(n_total=256, progress=False)
+        assert s.beta == 1.0
+        assert abs(s.evidence()[0] - TRUE_LOGZ) < 1.0
+
+    def test_host_likelihood_callback(self):
+        def np_loglike(x):
+            return float(-0.5 * np.sum(x**2) - 0.5 * N_DIM * np.log(2 * np.pi))
+
+        s = Sampler(
+            prior_transform, np_loglike, n_dim=N_DIM, n_particles=128,
+            host_likelihood=True, clustering=False, random_state=0,
+        )
+        s.run(n_total=512, progress=False)
+        assert abs(s.evidence()[0] - TRUE_LOGZ) < 0.5
+
+
+class TestBlobs:
+    def test_blobs_tracked(self):
+        def loglike_blobs(x):
+            logl = -0.5 * jnp.sum(x**2) - 0.5 * N_DIM * jnp.log(2 * jnp.pi)
+            return logl, jnp.sum(x)  # blob: derived quantity
+
+        s = Sampler(
+            prior_transform, loglike_blobs, n_dim=N_DIM, n_particles=64,
+            blobs_dtype="float32", clustering=False, random_state=0,
+        )
+        s.run(n_total=256, progress=False)
+        x, w, logl, blobs = s.posterior(return_blobs=True)
+        assert blobs.shape[0] == x.shape[0]
+        np.testing.assert_allclose(
+            blobs[:, 0], x.sum(axis=1), rtol=1e-3, atol=1e-3
+        )
+
+
+class TestSampleMethod:
+    def test_manual_loop_matches_run(self):
+        s = make_sampler()
+        state = s.sample()
+        assert state["iter"] == 1
+        assert state["beta"] == 0.0
+        for _ in range(40):
+            state = s.sample()
+            if 1.0 - state["beta"] < 1e-4 and state["ess"] >= 256:
+                break
+        assert state["beta"] == 1.0
+
+    def test_sample_returns_state_dict(self):
+        s = make_sampler()
+        state = s.sample()
+        for key in ("u", "x", "logl", "beta", "logz", "ess", "calls", "iter"):
+            assert key in state
+        assert state["u"].shape == (128, N_DIM)
+
+
+class TestSaveLoad:
+    def test_checkpoint_roundtrip(self, tmp_path):
+        s = make_sampler()
+        for _ in range(4):
+            s.sample()
+        path = tmp_path / "ckpt.state"
+        s.save_state(path)
+
+        s2 = make_sampler()
+        s2.load_state(path)
+        assert int(s2.state.hist.t) == int(s.state.hist.t)
+        assert s2.beta == s.beta
+        np.testing.assert_allclose(
+            np.asarray(s2.state.cur.u), np.asarray(s.state.cur.u)
+        )
+
+    def test_resume_run(self, tmp_path):
+        s = make_sampler()
+        for _ in range(3):
+            s.sample()
+        path = tmp_path / "resume.state"
+        s.save_state(path)
+
+        s2 = make_sampler()
+        s2.run(n_total=512, progress=False, resume_state_path=path)
+        assert s2.beta == 1.0
+        assert abs(s2.evidence()[0] - TRUE_LOGZ) < 0.6
+
+    def test_save_every_writes_files(self, tmp_path):
+        s = Sampler(
+            prior_transform, log_likelihood, n_dim=N_DIM, n_particles=64,
+            clustering=False, random_state=0, output_dir=str(tmp_path),
+            output_label="t",
+        )
+        s.run(n_total=128, progress=False, save_every=2)
+        assert (tmp_path / "t_final.state").exists()
+
+
+class TestEdgeCases:
+    def test_infinite_likelihood_patch(self):
+        def loglike_partial(x):
+            # -inf outside |x| < 4 (plateau likelihood support)
+            inside = jnp.all(jnp.abs(x) < 4.0)
+            val = -0.5 * jnp.sum(x**2) - 0.5 * N_DIM * jnp.log(2 * jnp.pi)
+            return jnp.where(inside, val, -jnp.inf)
+
+        s = Sampler(
+            prior_transform, loglike_partial, n_dim=N_DIM, n_particles=128,
+            clustering=False, random_state=0,
+        )
+        s.run(n_total=256, progress=False)
+        logz = s.evidence()[0]
+        # support restriction removes negligible mass; logZ unchanged
+        assert abs(logz - TRUE_LOGZ) < 0.6
+        assert np.all(np.isfinite(np.asarray(s.state.cur.logl)))
+
+    def test_narrow_likelihood(self):
+        def narrow(x):
+            return -0.5 * jnp.sum((x / 0.01) ** 2) - 0.5 * N_DIM * jnp.log(
+                2 * jnp.pi * 0.01**2
+            )
+
+        s = Sampler(
+            prior_transform, narrow, n_dim=N_DIM, n_particles=128,
+            clustering=False, random_state=0,
+        )
+        s.run(n_total=256, progress=False)
+        true = -N_DIM * np.log(HI - LO)
+        assert abs(s.evidence()[0] - true) < 1.0
+
+    def test_invalid_config_raises(self):
+        with pytest.raises(ValueError):
+            Sampler(prior_transform, log_likelihood, n_dim=N_DIM, sample="bogus")
+        with pytest.raises(ValueError):
+            Sampler(prior_transform, log_likelihood, n_dim=N_DIM, resample="bogus")
+        with pytest.raises(ValueError):
+            Sampler(
+                prior_transform, log_likelihood, n_dim=N_DIM,
+                periodic=[0], reflective=[0],
+            )
+
+    def test_history_growth(self):
+        # Force capacity growth with a tiny initial capacity
+        s = Sampler(
+            prior_transform, log_likelihood, n_dim=N_DIM, n_particles=64,
+            clustering=False, random_state=0, history_capacity=2,
+        )
+        s.run(n_total=256, progress=False)
+        assert int(s.state.hist.t) > 2
+        assert abs(s.evidence()[0] - TRUE_LOGZ) < 0.6
