@@ -117,6 +117,15 @@ class SamplerCore:
                 cfg, self._loglike_batch, self._prior_batch
             )
 
+        self.mesh = cfg.mesh
+        if self.mesh is not None:
+            n_shards = int(np.prod(self.mesh.devices.shape))
+            if cfg.n_particles % n_shards != 0:
+                raise ValueError(
+                    f"n_particles ({cfg.n_particles}) must be divisible by the "
+                    f"mesh size ({n_shards}) to shard the particle axis."
+                )
+
         seed = cfg.random_state if cfg.random_state is not None else 0
         self.key = jax.random.PRNGKey(seed)
         self.hist: History = make_history(
@@ -131,6 +140,7 @@ class SamplerCore:
             cfg.n_particles, cfg.n_dim, dtype=cfg.dtype,
             blob_size=self.blob_size, blobs_dtype=cfg.blobs_dtype,
         )
+        self._apply_sharding()
         self.pbar: Optional[ProgressBar] = None
         self.n_total: Optional[int] = None
         self.logz_err = None
@@ -164,6 +174,20 @@ class SamplerCore:
         self.n_total = None
         self.logz_err = None
         self.t0 = 0
+        self._apply_sharding()
+
+    def _apply_sharding(self) -> None:
+        """Place history/current with the particle axis sharded over the
+        configured mesh (no-op when mesh is None). Every jitted step then
+        runs SPMD: weight/ESS reductions lower to psum, the resampling
+        gather to an all-to-all (see parallel/mesh.py)."""
+        if self.mesh is None:
+            return
+        from .parallel.mesh import shard_current, shard_history
+
+        axis = self.config.particle_axis
+        self.hist = shard_history(self.hist, self.mesh, axis)
+        self.cur = shard_current(self.cur, self.mesh, axis)
 
     def _next_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
@@ -172,6 +196,12 @@ class SamplerCore:
     def _ensure_capacity(self):
         if int(self.hist.t) >= self.hist.capacity:
             self.hist = grow_history(self.hist, self.hist.capacity * 2)
+            if self.mesh is not None:
+                from .parallel.mesh import shard_history
+
+                self.hist = shard_history(
+                    self.hist, self.mesh, self.config.particle_axis
+                )
 
     # ------------------------------------------------------------------
     def run_sampling(
@@ -471,6 +501,7 @@ class SamplerCore:
     def load_sampler_state(self, path: Union[str, Path]) -> None:
         hist, cur, key, meta = load_checkpoint(Path(path), dtype=self.dtype)
         self.hist, self.cur, self.key = hist, cur, key
+        self._apply_sharding()
         if meta.get("n_total") is not None:
             self.n_total = meta["n_total"]
 
