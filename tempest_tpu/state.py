@@ -214,6 +214,54 @@ def commit(hist: History, cur: Current) -> History:
 # ---------------------------------------------------------------------------
 # The MIS / balance-heuristic weight computation — the heart of PS.
 # ---------------------------------------------------------------------------
+def mis_denominator(hist: History) -> jnp.ndarray:
+    """Beta-independent denominator of the MIS balance heuristic.
+
+    B_s = logsumexp_t[ log(n_t/N_total) + beta_t * logl_s - logZ_t ]
+
+    This is the O(T_max*N x T_max) part of state_manager.py:418-480 — and it
+    does NOT depend on the trial beta, so the temperature-ladder bisection
+    computes it ONCE and each probe is then only O(T_max*N) (the reference
+    rebuilds the full matrix at every probe; see reweight.py:88-118).
+    """
+    _, N = hist.logl.shape
+    it_mask = hist.iter_mask()  # (T_max,)
+    logl = hist.flat_logl()  # (T_max*N,)
+    # log(n_t / N_total) = log(N) - log(t*N) = -log(t)
+    log_mix = jnp.where(
+        it_mask, -jnp.log(jnp.maximum(hist.t, 1).astype(hist.logl.dtype)), -jnp.inf
+    )
+    # b[s, t] = beta_t * logl_s - logZ_t + log_mix_t. Invalid columns are
+    # forced to -inf BEFORE the logsumexp: uninitialized slots have
+    # beta_t = 0 and logl_s = -inf, whose product is NaN otherwise.
+    b = logl[:, None] * hist.beta[None, :] - hist.logz[None, :] + log_mix[None, :]
+    b = jnp.where(it_mask[None, :], b, -jnp.inf)
+    return logsumexp(b, axis=1)  # (T_max*N,)
+
+
+def logw_from_denominator(
+    hist: History, denom: jnp.ndarray, beta_final, normalize: bool = True
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Log-weights and logZ at `beta_final` given a precomputed denominator.
+
+    logw_s = beta_final * logl_s - B_s;  logz = logsumexp_s(logw_s) - log(N).
+    O(T_max*N) — the cheap, beta-dependent half of the MIS computation.
+    """
+    _, N = hist.logl.shape
+    logl = hist.flat_logl()
+    s_mask = hist.sample_mask()
+    n_total = (hist.t * N).astype(hist.logl.dtype)
+
+    beta_final = jnp.asarray(beta_final, dtype=hist.logl.dtype)
+    logw = jnp.where(s_mask, beta_final * logl - denom, -jnp.inf)
+    logz_new = logsumexp(logw) - jnp.log(jnp.maximum(n_total, 1.0))
+    logz_new = jnp.where(hist.t > 0, logz_new, -jnp.inf)
+
+    if normalize:
+        logw = logw - logsumexp(logw)
+    return logw, logz_new
+
+
 def compute_logw_and_logz(
     hist: History, beta_final, normalize: bool = True
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -231,28 +279,4 @@ def compute_logw_and_logz(
     a sharded particle axis the row-wise logsumexp is local and the final
     reductions lower to psum over the mesh.
     """
-    T_max, N = hist.logl.shape
-    it_mask = hist.iter_mask()  # (T_max,)
-    logl = hist.flat_logl()  # (T_max*N,)
-    s_mask = hist.sample_mask()
-
-    n_total = (hist.t * N).astype(hist.logl.dtype)
-    # log(n_t / N_total) = log(N) - log(t*N) = -log(t)
-    log_mix = jnp.where(it_mask, -jnp.log(jnp.maximum(hist.t, 1).astype(hist.logl.dtype)), -jnp.inf)
-
-    beta_final = jnp.asarray(beta_final, dtype=hist.logl.dtype)
-    A = beta_final * logl  # (T_max*N,)
-    # b[s, t] = beta_t * logl_s - logZ_t + log_mix_t. Invalid columns are
-    # forced to -inf BEFORE the logsumexp: uninitialized slots have
-    # beta_t = 0 and logl_s = -inf, whose product is NaN otherwise.
-    b = logl[:, None] * hist.beta[None, :] - hist.logz[None, :] + log_mix[None, :]
-    b = jnp.where(it_mask[None, :], b, -jnp.inf)
-    B = logsumexp(b, axis=1)  # (T_max*N,)
-
-    logw = jnp.where(s_mask, A - B, -jnp.inf)
-    logz_new = logsumexp(logw) - jnp.log(jnp.maximum(n_total, 1.0))
-    logz_new = jnp.where(hist.t > 0, logz_new, -jnp.inf)
-
-    if normalize:
-        logw = logw - logsumexp(logw)
-    return logw, logz_new
+    return logw_from_denominator(hist, mis_denominator(hist), beta_final, normalize)

@@ -27,7 +27,7 @@ from ..config import (
     METRIC_ATOL_CV,
 )
 from ..ops.tools import ess_from_logw, volume_variation
-from ..state import History, compute_logw_and_logz
+from ..state import History, logw_from_denominator, mis_denominator
 
 
 class ReweightResult(NamedTuple):
@@ -44,17 +44,22 @@ def _beta_interval_tol(lo, hi):
     return jnp.maximum(BETA_RTOL * scale, BETA_TOLERANCE * scale)
 
 
-def _make_metric_fns(hist: History, dynamic: bool):
-    """ess_at(beta) and metric_at(beta) evaluators over the masked history."""
+def _make_metric_fns(hist: History, dynamic: bool, denom: jnp.ndarray):
+    """ess_at(beta) and metric_at(beta) evaluators over the masked history.
+
+    The O(N_hist x T) MIS denominator `denom` is beta-independent, so it is
+    computed ONCE per reweight; every bisection probe is then a cheap
+    O(N_hist) evaluation (the reference rebuilds the full matrix per probe,
+    reweight.py:88-118)."""
     s_mask = hist.sample_mask()
     flat_u = hist.flat_u()
 
     def ess_at(beta):
-        logw, _ = compute_logw_and_logz(hist, beta)
+        logw, _ = logw_from_denominator(hist, denom, beta)
         return ess_from_logw(logw)
 
     def metric_at(beta):
-        logw, _ = compute_logw_and_logz(hist, beta)
+        logw, _ = logw_from_denominator(hist, denom, beta)
         ess = ess_from_logw(logw)
         if dynamic:
             w = jnp.exp(logw)
@@ -169,8 +174,9 @@ def reweight(
     beta_prev = jnp.asarray(beta_prev, dtype)
     ess_target = jnp.asarray(ess_target, dtype)
 
-    ess_at, metric_at = _make_metric_fns(hist, dynamic)
-    _, ess_metric_at = _make_metric_fns(hist, False)
+    denom = mis_denominator(hist)
+    ess_at, metric_at = _make_metric_fns(hist, dynamic, denom)
+    _, ess_metric_at = _make_metric_fns(hist, False, denom)
 
     beta_low, beta_high = _find_ess_bracket(ess_at, beta_prev, ess_target, dtype)
     no_crossing = beta_low == beta_high
@@ -197,7 +203,7 @@ def reweight(
         beta = jnp.where(no_crossing, beta_low, beta_sel)
 
     # Final state at the selected beta
-    logw, logz = compute_logw_and_logz(hist, beta)
+    logw, logz = logw_from_denominator(hist, denom, beta)
     weights = jnp.exp(logw)  # normalized; masked entries are exp(-inf) = 0
     ess = ess_from_logw(logw)
     cv = volume_variation(hist.flat_u(), weights, mask=hist.sample_mask())
