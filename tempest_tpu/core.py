@@ -37,6 +37,7 @@ from .steps.resample import resample as resample_step
 from .steps.reweight import reweight as reweight_step
 from .steps.train import Trainer
 from .utils.checkpoint import load_checkpoint, save_checkpoint
+from .utils.profiling import annotate
 from .utils.progress import ProgressBar
 from .utils.wrappers import (
     FunctionWrapper,
@@ -329,13 +330,14 @@ class SamplerCore:
             self._run_warmup_mutation()
         else:
             # --- reweight ---------------------------------------------
-            rw = reweight_step(
-                self.hist,
-                self.cur.beta,
-                cfg.ess_ratio * self.n_particles,
-                cv_target=cfg.volume_variation or 0.0,
-                dynamic=cfg.volume_variation is not None,
-            )
+            with annotate("ps/reweight"):
+                rw = reweight_step(
+                    self.hist,
+                    self.cur.beta,
+                    cfg.ess_ratio * self.n_particles,
+                    cv_target=cfg.volume_variation or 0.0,
+                    dynamic=cfg.volume_variation is not None,
+                )
             self.cur = self.cur.replace(
                 beta=rw.beta.astype(self.dtype),
                 logz=rw.logz.astype(self.dtype),
@@ -353,30 +355,33 @@ class SamplerCore:
                 return self.get_current_dict()
 
             # --- train -------------------------------------------------
-            mode_stats = self.trainer.run(
-                self._next_key(), self.hist, rw.weights, iteration
-            )
+            with annotate("ps/train"):
+                mode_stats = self.trainer.run(
+                    self._next_key(), self.hist, rw.weights, iteration
+                )
 
             # --- resample ---------------------------------------------
-            u, x, logl, blobs, assignments = resample_step(
-                self._next_key(),
-                self.hist,
-                rw.weights,
-                self.trainer.cluster_model,
-                self.n_particles,
-                method=cfg.resample,
-                clustering=cfg.clustering,
-            )
+            with annotate("ps/resample"):
+                u, x, logl, blobs, assignments = resample_step(
+                    self._next_key(),
+                    self.hist,
+                    rw.weights,
+                    self.trainer.cluster_model,
+                    self.n_particles,
+                    method=cfg.resample,
+                    clustering=cfg.clustering,
+                )
             self.cur = self.cur.replace(
                 u=u, x=x, logl=logl, blobs=blobs, assignments=assignments
             )
 
             # --- mutate ------------------------------------------------
-            res = self._mcmc(
-                self._next_key(),
-                self.cur.u, self.cur.x, self.cur.logl, self.cur.blobs,
-                self.cur.assignments, self.cur.beta, mode_stats,
-            )
+            with annotate("ps/mutate"):
+                res = self._mcmc(
+                    self._next_key(),
+                    self.cur.u, self.cur.x, self.cur.logl, self.cur.blobs,
+                    self.cur.assignments, self.cur.beta, mode_stats,
+                )
             self.cur = self.cur.replace(
                 u=res.u, x=res.x, logl=res.logl, blobs=res.blobs,
                 efficiency=res.efficiency.astype(self.dtype),
