@@ -165,6 +165,55 @@ class Sampler:
         self._core.reset(random_state=random_state)
 
     # ------------------------------------------------------------------
+    # Pickling: parity with reference sampler.py:300-306 (which strips the
+    # process pool). Compiled kernels and the mesh are dropped; arrays are
+    # pulled to host. Unpickling rebuilds the core (kernels recompile
+    # lazily) and restores the exact run state, including the RNG stream.
+    def __getstate__(self):
+        import dataclasses
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        core = self._core
+        config = dataclasses.replace(core.config, mesh=None)
+
+        def to_host(tree):
+            import jax
+
+            return jax.tree_util.tree_map(np.asarray, tree)
+
+        import jax
+
+        key = core.key
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            key_data, key_typed = np.asarray(jax.random.key_data(key)), True
+        else:
+            key_data, key_typed = np.asarray(key), False
+        return {
+            "config": config,
+            "hist": to_host(core.hist),
+            "cur": to_host(core.cur),
+            "key_data": key_data,
+            "key_typed": key_typed,
+            "n_total": core.n_total,
+        }
+
+    def __setstate__(self, state):
+        import jax
+        import jax.numpy as jnp
+
+        self._core = SamplerCore(state["config"])
+        as_dev = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
+        self._core.hist = as_dev(state["hist"])
+        self._core.cur = as_dev(state["cur"])
+        key = jnp.asarray(state["key_data"])
+        if state["key_typed"]:
+            key = jax.random.wrap_key_data(key)
+        self._core.key = key
+        self._core.n_total = state["n_total"]
+
+    # ------------------------------------------------------------------
     @property
     def n_dim(self) -> int:
         return self._core.config.n_dim

@@ -300,3 +300,32 @@ class TestEdgeCases:
         s.run(n_total=256, progress=False)
         assert int(s.state.hist.t) > 2
         assert abs(s.evidence()[0] - TRUE_LOGZ) < 0.6
+
+
+class TestPickling:
+    def test_pickle_roundtrip_mid_run(self):
+        import pickle
+
+        s = make_sampler()
+        for _ in range(5):
+            s.sample()
+        blob = pickle.dumps(s)
+        s2 = pickle.loads(blob)
+        assert s2.beta == s.beta
+        assert int(s2.state.hist.t) == int(s.state.hist.t)
+        # both continue identically (same RNG stream)
+        a = s.sample()
+        b = s2.sample()
+        assert a["beta"] == b["beta"]
+        np.testing.assert_allclose(a["logz"], b["logz"], rtol=1e-6)
+
+    def test_pickle_then_finish_run(self):
+        import pickle
+
+        s = make_sampler()
+        for _ in range(3):
+            s.sample()
+        s2 = pickle.loads(pickle.dumps(s))
+        s2.run(n_total=512, progress=False)
+        assert s2.beta == 1.0
+        assert abs(s2.evidence()[0] - TRUE_LOGZ) < 0.5
