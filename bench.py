@@ -20,10 +20,21 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# Persistent XLA compilation cache: the fused whole-run program is a large
+# compile (minutes on the remote TPU compile service); cached binaries make
+# repeat bench runs start in seconds.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
