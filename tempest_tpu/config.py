@@ -61,9 +61,11 @@ class SamplerConfig:
     periodic: Optional[List[int]] = None
     reflective: Optional[List[int]] = None
 
-    # Reference-compat arg. On TPU, distribution happens by sharding the
-    # particle axis across a device mesh, not via process pools; accepted
-    # (and ignored with a warning) for drop-in compatibility.
+    # Process pool for HOST likelihoods (host_likelihood=True): int -> a
+    # spawned multiprocessing pool, object with .map -> used directly (e.g.
+    # an MPI pool), mirroring the reference's dispatch (core.py:430-440).
+    # For JAX likelihoods parallelism comes from the device mesh instead,
+    # and pool is accepted-but-ignored (with a warning) for compatibility.
     pool: Optional[Union[int, Any]] = None
 
     # Clustering
@@ -120,10 +122,11 @@ class SamplerConfig:
 
         self.validate()
 
-        if self.pool is not None:
+        if self.pool is not None and not self.host_likelihood:
             warnings.warn(
-                "pool is ignored on the TPU backend: parallelism comes from "
-                "sharding the particle axis over the device mesh (pass mesh=...).",
+                "pool is ignored for JAX likelihoods: parallelism comes from "
+                "sharding the particle axis over the device mesh (pass mesh=...). "
+                "It IS honored together with host_likelihood=True.",
                 UserWarning,
                 stacklevel=2,
             )

@@ -74,6 +74,7 @@ class SamplerCore:
             dtype=cfg.dtype,
             blob_size=self.blob_size,
             blobs_dtype=cfg.blobs_dtype,
+            pool=cfg.pool if cfg.host_likelihood else None,
         )
 
         p_mask, r_mask, s_mask = make_boundary_masks(cfg.n_dim, cfg.periodic, cfg.reflective)

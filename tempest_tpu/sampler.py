@@ -176,7 +176,9 @@ class Sampler:
         import numpy as np
 
         core = self._core
-        config = dataclasses.replace(core.config, mesh=None)
+        # Strip the mesh AND the pool (reference sampler.py:300-306 strips
+        # its pool): neither is picklable in general.
+        config = dataclasses.replace(core.config, mesh=None, pool=None)
 
         def to_host(tree):
             import jax

@@ -38,6 +38,35 @@ def build_prior_transform(prior_transform: Callable, vectorize: bool) -> Callabl
     return jax.vmap(prior_transform)
 
 
+def _make_pool_map(pool) -> Callable:
+    """Resolve the host-side map function from the `pool` argument.
+
+    Parity with the reference's dispatch (core.py:430-440): None -> builtin
+    map; int -> lazily-created multiprocessing pool of that size; object
+    with .map (e.g. an MPI pool) -> its map. Only meaningful together with
+    host_likelihood=True — the JAX paths are batched on device.
+    """
+    if pool is None:
+        return lambda f, xs: [f(x) for x in xs]
+    if isinstance(pool, int):
+        state = {}
+
+        def pooled_map(f, xs):
+            if "pool" not in state:
+                import multiprocessing
+
+                # spawn: forking a process with an initialized JAX runtime
+                # can deadlock; spawn requires f to be picklable (same
+                # constraint as the reference's multiprocess pool).
+                state["pool"] = multiprocessing.get_context("spawn").Pool(pool)
+            return state["pool"].map(f, xs)
+
+        return pooled_map
+    if hasattr(pool, "map"):
+        return lambda f, xs: list(pool.map(f, xs))
+    raise ValueError(f"pool must be None, an int, or expose .map; got {type(pool)}")
+
+
 def build_log_likelihood(
     log_likelihood: Callable,
     vectorize: bool,
@@ -47,16 +76,18 @@ def build_log_likelihood(
     dtype=jnp.float32,
     blob_size: Optional[int] = None,
     blobs_dtype=None,
+    pool=None,
 ) -> Callable:
     """Batched x (N, d) -> (logl (N,), blobs (N, B) | None)."""
 
     if host_likelihood:
         # Non-JAX escape hatch: evaluate on the host via pure_callback.
+        pool_map = _make_pool_map(pool)
         if have_blobs:
             bdt = np.dtype(np.float32) if blobs_dtype is None else np.dtype(blobs_dtype)
 
             def host_eval(xs):
-                out = [log_likelihood(np.asarray(x)) for x in np.asarray(xs)]
+                out = pool_map(log_likelihood, list(np.asarray(xs)))
                 logl = np.array([float(o[0]) for o in out], dtype=np.float32)
                 blobs = np.array([np.atleast_1d(o[1]) for o in out], dtype=bdt)
                 return logl, blobs.reshape(len(out), -1)
@@ -72,8 +103,8 @@ def build_log_likelihood(
             return batched
 
         def host_eval_plain(xs):
-            arr = np.asarray(xs)
-            return np.array([float(log_likelihood(x)) for x in arr], dtype=np.float32)
+            out = pool_map(log_likelihood, list(np.asarray(xs)))
+            return np.array([float(v) for v in out], dtype=np.float32)
 
         def batched_plain(x):
             shape = jax.ShapeDtypeStruct((n_particles,), jnp.float32)

@@ -329,3 +329,26 @@ class TestPickling:
         s2.run(n_total=512, progress=False)
         assert s2.beta == 1.0
         assert abs(s2.evidence()[0] - TRUE_LOGZ) < 0.5
+
+
+class TestHostPool:
+    def test_pool_object_map_is_used(self):
+        calls = {"n": 0}
+
+        class CountingPool:
+            def map(self, f, xs):
+                calls["n"] += 1
+                return [f(x) for x in xs]
+
+        def np_loglike(x):
+            return float(-0.5 * np.sum(x**2) - 0.5 * N_DIM * np.log(2 * np.pi))
+
+        s = Sampler(
+            prior_transform, np_loglike, n_dim=N_DIM, n_particles=64,
+            host_likelihood=True, pool=CountingPool(),
+            clustering=False, random_state=0,
+        )
+        s.run(n_total=256, progress=False)
+        assert calls["n"] > 0
+        assert abs(s.evidence()[0] - TRUE_LOGZ) < 0.7
+        assert s.beta == 1.0
