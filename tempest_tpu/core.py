@@ -260,9 +260,6 @@ class SamplerCore:
         if the history fills before termination."""
         from .fused import make_fused_run
 
-        if int(self.hist.t) == 0:
-            self.execute_iteration()  # warm-up iteration (host-dispatched)
-
         if not hasattr(self, "_fused_run"):
             self._fused_run = make_fused_run(
                 self.config, self._loglike_batch, self._prior_batch

@@ -63,10 +63,8 @@ def _make_iteration_fn(
     )
 
     def _mutate_branch(args):
-        key, hist, cur = args
+        key, hist, cur, weights = args
         k_train, k_res, k_mut = jax.random.split(key, 3)
-        logw, _ = compute_logw_and_logz(hist, cur.beta)
-        weights = jnp.exp(logw)
         _, w_trim = trim_weights_mask(
             weights, mask=hist.sample_mask(), ess=TRIM_ESS, bins=TRIM_BINS
         )
@@ -88,7 +86,7 @@ def _make_iteration_fn(
         )
 
     def _warmup_branch(args):
-        key, hist, cur = args
+        key, hist, cur, _weights = args
         wr = warmup(key)
         return cur.replace(
             u=wr.u, x=wr.x, logl=wr.logl, blobs=wr.blobs,
@@ -102,6 +100,12 @@ def _make_iteration_fn(
 
     def iteration(key: jax.Array, hist: History, cur: Current) -> Tuple[History, Current]:
         # --- reweight -----------------------------------------------------
+        # t == 0 (nothing committed yet): no reweighting is possible — the
+        # reweight outputs are overridden with the first-iteration values
+        # (beta=0, logz=0, ESS=ess_ratio*N; core.py here mirrors the
+        # reference's first-iteration handling, reweight.py:365-383). The
+        # reweight math still executes on garbage inputs, but every loop in
+        # it is bounded and its NaNs are discarded by the selects below.
         rw = reweight_step(
             hist,
             cur.beta,
@@ -109,19 +113,24 @@ def _make_iteration_fn(
             cv_target=cfg.volume_variation or 0.0,
             dynamic=cfg.volume_variation is not None,
         )
+        is_first = hist.t == 0
+        zero = jnp.asarray(0.0, cfg.dtype)
+        ess0 = jnp.asarray(cfg.ess_ratio * cfg.n_particles, cfg.dtype)
         cur = cur.replace(
-            beta=rw.beta.astype(cfg.dtype),
-            logz=rw.logz.astype(cfg.dtype),
-            ess=rw.ess.astype(cfg.dtype),
-            cv=rw.cv.astype(cfg.dtype),
+            beta=jnp.where(is_first, zero, rw.beta.astype(cfg.dtype)),
+            logz=jnp.where(is_first, cur.logz, rw.logz.astype(cfg.dtype)),
+            ess=jnp.where(is_first, ess0, rw.ess.astype(cfg.dtype)),
+            cv=jnp.where(is_first, zero, rw.cv.astype(cfg.dtype)),
             iteration=cur.iteration + 1,
         )
 
         # beta == 0: target is still the prior — fresh draws instead of
         # train/resample/MCMC (train.py:79-88, resample.py:68-72,
-        # mutate.py:99-149). Otherwise the full mutate pipeline.
+        # mutate.py:99-149). Otherwise the full mutate pipeline, reusing
+        # the MIS weights the reweighter just computed.
         cur = jax.lax.cond(
-            cur.beta == 0.0, _warmup_branch, _mutate_branch, (key, hist, cur)
+            cur.beta == 0.0, _warmup_branch, _mutate_branch,
+            (key, hist, cur, rw.weights),
         )
 
         hist = commit(hist, cur)

@@ -174,7 +174,10 @@ def reweight(
     beta_prev = jnp.asarray(beta_prev, dtype)
     ess_target = jnp.asarray(ess_target, dtype)
 
-    denom = mis_denominator(hist)
+    # optimization_barrier pins the (expensive, beta-independent) denominator
+    # as a materialized value: without it XLA may rematerialize the whole
+    # (S x T) computation inside each bisection-probe loop body.
+    denom = jax.lax.optimization_barrier(mis_denominator(hist))
     ess_at, metric_at = _make_metric_fns(hist, dynamic, denom)
     _, ess_metric_at = _make_metric_fns(hist, False, denom)
 
