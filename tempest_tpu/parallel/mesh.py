@@ -42,7 +42,7 @@ def history_sharding(mesh: Mesh, axis_name: str = "particles"):
     pdim3 = NamedSharding(mesh, P(None, axis_name, None))  # (T_max, N, d)
     rep = NamedSharding(mesh, P())  # per-iteration scalars replicated
     return History(
-        u=pdim3, x=pdim3, logl=pdim,
+        u=pdim3, x=pdim3, logl=pdim, mis_c=pdim,
         blobs=pdim3,
         beta=rep, logz=rep, ess=rep, cv=rep,
         acceptance=rep, efficiency=rep, steps=rep, calls=rep, t=rep,

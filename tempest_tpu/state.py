@@ -33,6 +33,14 @@ class History:
     u: jnp.ndarray  # (T_max, N, d) unit-hypercube coordinates
     x: jnp.ndarray  # (T_max, N, d) physical coordinates
     logl: jnp.ndarray  # (T_max, N) log-likelihoods
+    # Running MIS-denominator accumulator, maintained by commit():
+    #   mis_c[t', s] = logsumexp_{t <= T} (beta_t * logl[t', s] - logZ_t)
+    # Because n_particles is constant per iteration, the balance-heuristic
+    # mixture weight log(n_t/N_total) = -log(T) factors OUT of the
+    # logsumexp, so the full denominator is mis_c - log(T): every weight
+    # computation is O(S) instead of O(S*T) (state_manager.py:466-471
+    # rebuilds the full matrix each time).
+    mis_c: jnp.ndarray  # (T_max, N)
     blobs: Optional[jnp.ndarray]  # (T_max, N, B) auxiliary outputs or None
     beta: jnp.ndarray  # (T_max,) inverse temperature per iteration
     logz: jnp.ndarray  # (T_max,) evidence estimate per iteration
@@ -97,6 +105,7 @@ def make_history(
         u=f(capacity, n_particles, n_dim),
         x=f(capacity, n_particles, n_dim),
         logl=jnp.full((capacity, n_particles), -jnp.inf, dtype=dtype),
+        mis_c=jnp.full((capacity, n_particles), -jnp.inf, dtype=dtype),
         blobs=blobs,
         beta=f(capacity),
         logz=f(capacity),
@@ -123,6 +132,7 @@ def grow_history(hist: History, new_capacity: int) -> History:
         u=pad(hist.u),
         x=pad(hist.x),
         logl=pad(hist.logl, -jnp.inf),
+        mis_c=pad(hist.mis_c, -jnp.inf),
         blobs=None if hist.blobs is None else pad(hist.blobs),
         beta=pad(hist.beta),
         logz=pad(hist.logz),
@@ -185,14 +195,51 @@ def make_current(
     )
 
 
+def _mis_c_after_commit(hist: History, cur: Current) -> jnp.ndarray:
+    """Updated (T_max, N) accumulator including the new iteration's column.
+
+    Existing samples: one logaddexp with the new (beta_T, logZ_T) term —
+    O(S). The new iteration's row: logsumexp over all T+1 committed
+    temperatures — O(N*T_max). beta*logl is forced to -inf for -inf logl
+    (0 * -inf would be NaN; the matrix formulation masks these the same
+    way).
+    """
+    t = hist.t
+    dtype = hist.logl.dtype
+    beta_T = jnp.asarray(cur.beta, dtype)
+    logz_T = jnp.asarray(cur.logz, dtype)
+
+    # --- update rows of existing iterations (slots < t) -------------------
+    term = jnp.where(
+        jnp.isfinite(hist.logl), beta_T * hist.logl - logz_T, -jnp.inf
+    )
+    row_valid = (jnp.arange(hist.capacity) < t)[:, None]
+    mis_c = jnp.where(row_valid, jnp.logaddexp(hist.mis_c, term), hist.mis_c)
+
+    # --- build the new iteration's row over all t' <= t -------------------
+    betas = hist.beta.at[t].set(beta_T)  # (T_max,)
+    logzs = hist.logz.at[t].set(logz_T)
+    col_valid = jnp.arange(hist.capacity) <= t  # (T_max,)
+    vals = jnp.where(
+        jnp.isfinite(cur.logl)[None, :],
+        betas[:, None] * cur.logl[None, :] - logzs[:, None],
+        -jnp.inf,
+    )
+    vals = jnp.where(col_valid[:, None], vals, -jnp.inf)
+    new_row = logsumexp(vals, axis=0)  # (N,)
+    return jax.lax.dynamic_update_index_in_dim(mis_c, new_row, t, 0)
+
+
 def commit(hist: History, cur: Current) -> History:
     """Append the current state as iteration slot `t` (jit-safe).
 
     Parity: state_manager.py:356-416 (commit_current_to_history); caller must
-    ensure capacity > t (grow on host first).
+    ensure capacity > t (grow on host first). Also maintains the running
+    MIS-denominator accumulator (see History.mis_c).
     """
     t = hist.t
     return hist.replace(
+        mis_c=_mis_c_after_commit(hist, cur),
         u=jax.lax.dynamic_update_index_in_dim(hist.u, cur.u, t, 0),
         x=jax.lax.dynamic_update_index_in_dim(hist.x, cur.x, t, 0),
         logl=jax.lax.dynamic_update_index_in_dim(hist.logl, cur.logl, t, 0),
@@ -215,16 +262,25 @@ def commit(hist: History, cur: Current) -> History:
 # The MIS / balance-heuristic weight computation — the heart of PS.
 # ---------------------------------------------------------------------------
 def mis_denominator(hist: History) -> jnp.ndarray:
-    """Beta-independent denominator of the MIS balance heuristic.
+    """Beta-independent denominator of the MIS balance heuristic — O(S).
 
     B_s = logsumexp_t[ log(n_t/N_total) + beta_t * logl_s - logZ_t ]
+        = mis_c_s - log(T)          (constant n_particles => n_t/N = 1/T)
 
-    This is the O(T_max*N x T_max) part of state_manager.py:418-480 — and it
-    does NOT depend on the trial beta, so the temperature-ladder bisection
-    computes it ONCE and each probe is then only O(T_max*N) (the reference
-    rebuilds the full matrix at every probe; see reweight.py:88-118).
+    Reads the accumulator maintained by commit() (History.mis_c) instead of
+    rebuilding the (S x T) matrix the reference constructs for every
+    evaluation (state_manager.py:466-471).
     """
-    _, N = hist.logl.shape
+    log_T = jnp.log(jnp.maximum(hist.t, 1).astype(hist.logl.dtype))
+    return hist.mis_c.reshape(-1) - log_T
+
+
+def mis_denominator_exact(hist: History) -> jnp.ndarray:
+    """Full-matrix O(S*T) denominator — reference formulation.
+
+    Used to (re)build History.mis_c (e.g. for checkpoints written before
+    the accumulator existed) and as the ground truth in tests.
+    """
     it_mask = hist.iter_mask()  # (T_max,)
     logl = hist.flat_logl()  # (T_max*N,)
     # log(n_t / N_total) = log(N) - log(t*N) = -log(t)
@@ -237,6 +293,14 @@ def mis_denominator(hist: History) -> jnp.ndarray:
     b = logl[:, None] * hist.beta[None, :] - hist.logz[None, :] + log_mix[None, :]
     b = jnp.where(it_mask[None, :], b, -jnp.inf)
     return logsumexp(b, axis=1)  # (T_max*N,)
+
+
+def rebuild_mis_c(hist: History) -> History:
+    """Recompute the accumulator from scratch (checkpoint compatibility)."""
+    log_T = jnp.log(jnp.maximum(hist.t, 1).astype(hist.logl.dtype))
+    c = (mis_denominator_exact(hist) + log_T).reshape(hist.logl.shape)
+    c = jnp.where(hist.iter_mask()[:, None], c, -jnp.inf)
+    return hist.replace(mis_c=c)
 
 
 def logw_from_denominator(

@@ -80,6 +80,8 @@ def load_checkpoint(
             u=get("hist.u"),
             x=get("hist.x"),
             logl=get("hist.logl"),
+            # Accumulator added later than format v1: rebuild if absent.
+            mis_c=get("hist.mis_c") if "hist.mis_c" in data else None,
             blobs=get("hist.blobs") if has_blobs else None,
             beta=get("hist.beta"),
             logz=get("hist.logz"),
@@ -107,5 +109,13 @@ def load_checkpoint(
             calls=get("cur.calls"),
             iteration=get("cur.iteration"),
         )
+        if hist.mis_c is None:
+            from ..state import rebuild_mis_c
+
+            hist = rebuild_mis_c(
+                hist.replace(
+                    mis_c=jnp.full(hist.logl.shape, -jnp.inf, dtype=hist.logl.dtype)
+                )
+            )
         key = jnp.asarray(data["rng_key"])  # legacy uint32 key format
         return hist, cur, key, payload["meta"]

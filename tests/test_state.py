@@ -131,3 +131,50 @@ class TestMISWeights:
         hist = _fill_history(logl_iters, betas, logzs, capacity=8)
         logw, _ = compute_logw_and_logz(hist, 1.0, normalize=True)
         assert np.isclose(float(jnp.sum(jnp.exp(logw))), 1.0, rtol=1e-5)
+
+
+class TestIncrementalDenominator:
+    def test_matches_exact_formulation(self):
+        """The commit-maintained accumulator reproduces the reference's
+        full-matrix denominator (state_manager.py:466-471) exactly."""
+        from tempest_tpu.state import mis_denominator, mis_denominator_exact
+
+        rng = np.random.default_rng(5)
+        hist = make_history(6, 16, 2)
+        cur = make_current(16, 2)
+        for t in range(4):
+            u = jnp.asarray(rng.uniform(0, 1, (16, 2)), jnp.float32)
+            logl = jnp.asarray(rng.normal(-4.0, 2.0, 16), jnp.float32)
+            cur = cur.replace(
+                u=u, x=u, logl=logl,
+                beta=jnp.asarray(0.25 * t, jnp.float32),
+                logz=jnp.asarray(-0.3 * t, jnp.float32),
+            )
+            hist = commit(hist, cur)
+            inc = np.asarray(mis_denominator(hist))
+            exact = np.asarray(mis_denominator_exact(hist))
+            valid = np.asarray(hist.sample_mask())
+            np.testing.assert_allclose(inc[valid], exact[valid], rtol=2e-5, atol=2e-5)
+
+    def test_rebuild_matches_commit_maintained(self):
+        from tempest_tpu.state import rebuild_mis_c
+
+        rng = np.random.default_rng(9)
+        hist = make_history(4, 8, 2)
+        cur = make_current(8, 2)
+        for t in range(3):
+            cur = cur.replace(
+                u=jnp.asarray(rng.uniform(0, 1, (8, 2)), jnp.float32),
+                x=jnp.zeros((8, 2), jnp.float32),
+                logl=jnp.asarray(rng.normal(-2, 1, 8), jnp.float32),
+                beta=jnp.asarray(0.3 * t, jnp.float32),
+                logz=jnp.asarray(-0.1 * t, jnp.float32),
+            )
+            hist = commit(hist, cur)
+        rebuilt = rebuild_mis_c(hist)
+        valid = np.asarray(hist.iter_mask())
+        np.testing.assert_allclose(
+            np.asarray(hist.mis_c)[valid],
+            np.asarray(rebuilt.mis_c)[valid],
+            rtol=2e-5, atol=2e-5,
+        )
