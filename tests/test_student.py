@@ -62,3 +62,38 @@ class TestFitMVStud:
         data = jnp.asarray(rng.standard_normal((1000, 3)) + np.array([1.0, -2.0, 0.5]))
         mu, Sigma, nu = fit_mvstud(data)
         np.testing.assert_allclose(np.array(mu), [1.0, -2.0, 0.5], atol=0.2)
+
+
+class TestNuRootAccuracy:
+    def test_root_matches_dense_scan(self):
+        """The multisection root agrees with a dense scan of the same
+        stationarity equation (cancellation-free form) to <1e-3 log-error."""
+        from tempest_tpu.student import _nu_objective, _opt_nu
+
+        rng = np.random.default_rng(1)
+        for true_nu in (3.0, 8.0):
+            x = rng.standard_t(true_nu, (2048, 4)).astype(np.float32)
+            xc = x - x.mean(0)
+            cov = (xc.T @ xc) / len(x)
+            delta = jnp.asarray(
+                np.einsum("ni,ij,nj->n", xc, np.linalg.inv(cov), xc), jnp.float32
+            )
+            grid = jnp.linspace(-18.0, 13.8, 20001)
+            f = np.asarray(_nu_objective(grid, delta, 4, len(x)))
+            i = np.argmax(f < 0)
+            assert i > 0, "expected a sign change for heavy-tailed data"
+            root_dense = float(np.exp(0.5 * (grid[i - 1] + grid[i])))
+            nu = float(_opt_nu(delta, 4, len(x)))
+            assert abs(np.log(nu) - np.log(root_dense)) < 1e-3
+
+    def test_finite_nu_for_heavy_tails_unlike_reference(self):
+        """Regression: heavy-tailed data must yield a FINITE nu (the
+        reference's limit test is numerically degenerate and always returns
+        inf; see module docstring)."""
+        from tempest_tpu.student import fit_mvstud
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_t(3.0, (4096, 5)), jnp.float32)
+        _, _, nu = fit_mvstud(x)
+        assert np.isfinite(float(nu))
+        assert float(nu) < 15.0
