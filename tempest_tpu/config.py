@@ -26,7 +26,7 @@ DOF_FALLBACK: float = 1e6  # Student-t dof fallback when EM returns non-finite
 TRIM_ESS: float = 0.99  # ESS fraction preserved by weight trimming
 TRIM_BINS: int = 1000  # Percentile grid size for weight trimming
 MAX_BISECTION_ITERATIONS: int = 200  # Hard cap on metric bisection loop
-MAX_PROPOSAL_RETRIES: int = 100  # Bounded redraw loop for out-of-bounds proposals
+N_PROPOSAL_CANDIDATES: int = 8  # Batched i.i.d. candidates per walker per MCMC step
 
 # TPU-specific defaults
 DEFAULT_HISTORY_CAPACITY: int = 16  # Initial T_max; grows geometrically

@@ -21,9 +21,11 @@ Semantics preserved exactly (citations inline):
   [n_steps*d, n_max*d] (mcmc.py:104-140)
 
 One deliberate deviation: the reference redraws out-of-bounds proposals
-forever (mcmc.py:239-249); we bound the redraw loop at `max_retries` and
-force rejection (alpha=0) for any walker still out of bounds — an event of
-vanishing probability that keeps the loop trip count bounded for XLA.
+forever (mcmc.py:239-249); we draw `n_candidates` i.i.d. candidates per
+walker in one batched pass, take the first in-bounds one (identical in
+distribution to sequential redrawing truncated at n_candidates), and force
+rejection (alpha=0) for walkers with none — keeping the proposal stage a
+single fixed-shape computation with no data-dependent loop.
 """
 
 from __future__ import annotations
@@ -63,7 +65,7 @@ def make_mcmc_kernel(
     periodic_mask: Optional[jnp.ndarray] = None,
     reflective_mask: Optional[jnp.ndarray] = None,
     strict_mask: Optional[jnp.ndarray] = None,
-    max_retries: int = 100,
+    n_candidates: int = 8,
     have_blobs: bool = False,
 ):
     """Build the jitted adaptive-MCMC mutation function.
@@ -83,41 +85,37 @@ def make_mcmc_kernel(
     is_tpcn = method == "tpcn"
 
     def propose(key, u, diff, mu, chol_w, sigma_w, scale_w):
-        """Bounded redraw loop; returns (proposal, valid) for all walkers."""
+        """Multi-candidate proposal; returns (proposal, valid) per walker.
 
-        def draw(k):
-            z = jax.random.normal(k, u.shape, dtype=u.dtype)
-            step = jnp.einsum("nij,nj->ni", chol_w, z)
-            if is_tpcn:
-                cand = (
-                    mu
-                    + jnp.sqrt(1.0 - sigma_w**2)[:, None] * diff
-                    + (sigma_w * scale_w)[:, None] * step
-                )
-            else:
-                cand = u + sigma_w[:, None] * step
-            cand = apply_boundary_conditions(cand, periodic_mask, reflective_mask)
-            return cand, check_bounds(cand, strict_mask)
+        The reference redraws each out-of-bounds walker until it lands in
+        bounds (mcmc.py:239-249). A sequential redraw loop is pathological
+        on TPU: the round count scales with log(N) times the per-draw
+        invalid probability's tail, and each round replays the whole
+        proposal computation (measured ~10ms/step during warm-up). Instead
+        draw `n_candidates` i.i.d. candidates per walker in ONE batched
+        pass and take the first valid one — identical in distribution to
+        sequential redrawing truncated at n_candidates; walkers with no
+        valid candidate are rejected via alpha=0 (an event adaptation
+        quickly makes rare, since forced rejections shrink sigma).
+        """
+        R = n_candidates
+        z = jax.random.normal(key, (R,) + u.shape, dtype=u.dtype)  # (R, N, d)
+        step = jnp.einsum("nij,rnj->rni", chol_w, z)
+        if is_tpcn:
+            cand = (
+                mu
+                + jnp.sqrt(1.0 - sigma_w**2)[:, None] * diff
+                + (sigma_w * scale_w)[:, None] * step
+            )
+        else:
+            cand = u + sigma_w[:, None] * step
+        cand = apply_boundary_conditions(cand, periodic_mask, reflective_mask)
+        valid = check_bounds(cand, strict_mask)  # (R, N)
 
-        key, k0 = jax.random.split(key)
-        prop, valid = draw(k0)
-
-        def cond(c):
-            _, _, valid, attempts = c
-            return (~jnp.all(valid)) & (attempts < max_retries)
-
-        def body(c):
-            key, prop, valid, attempts = c
-            key, k = jax.random.split(key)
-            cand, ok = draw(k)
-            prop = jnp.where(valid[:, None], prop, cand)
-            valid = valid | ok
-            return key, prop, valid, attempts + 1
-
-        _, prop, valid, _ = jax.lax.while_loop(
-            cond, body, (key, prop, valid, jnp.asarray(1, jnp.int32))
-        )
-        return prop, valid
+        first = jnp.argmax(valid, axis=0)  # (N,) — first True (0 if none)
+        any_valid = jnp.any(valid, axis=0)
+        prop = jnp.take_along_axis(cand, first[None, :, None], axis=0)[0]
+        return prop, any_valid
 
     def run(
         key: jax.Array,
