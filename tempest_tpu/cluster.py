@@ -91,9 +91,22 @@ def _kmeanspp_init(key, X, sample_weight, n_components):
 
     means0 = jax.lax.fori_loop(1, n_components, add_center, means0)
 
-    # Initial soft responsibilities from distances (cluster.py:160-165)
-    d2 = jnp.sum((X[:, None, :] - means0[None, :, :]) ** 2, axis=-1)
-    resp = jnp.exp(-0.5 * d2)
+    # Initial soft responsibilities from distances. The reference uses a
+    # UNIT kernel bandwidth (exp(-0.5*d2), cluster.py:160-165), which for
+    # data at scale << 1 produces near-uniform responsibilities: the first
+    # M-step then lands both components on the global mean — the symmetric
+    # saddle of the EM objective — and symmetry breaking takes hundreds of
+    # iterations (far past the 1e-3 bound tolerance), so bimodal data never
+    # splits. Setting the bandwidth to the weighted mean squared distance
+    # to the nearest chosen center makes the initial assignment decisive at
+    # any data scale while reducing to the same behaviour for unit-scale
+    # data.
+    d2 = jnp.sum((X[:, None, :] - means0[None, :, :]) ** 2, axis=-1)  # (n, K)
+    d2_min = jnp.min(d2, axis=1)
+    h2 = jnp.sum(sample_weight * d2_min) / jnp.maximum(jnp.sum(sample_weight), _EPS)
+    h2 = jnp.maximum(h2, _EPS)
+    logits = -0.5 * (d2 - d2_min[:, None]) / h2
+    resp = jnp.exp(logits)
     resp = resp / jnp.maximum(jnp.sum(resp, axis=1, keepdims=True), _EPS)
     return resp
 
@@ -332,13 +345,106 @@ def cluster_predict_proba(model: ClusterModel, X: jnp.ndarray) -> jnp.ndarray:
     return jnp.exp(scores - norm).T  # (n, K)
 
 
+@partial(jax.jit, static_argnames=("k_max", "covariance_type"))
+def _split_round(
+    key: jax.Array,
+    Xw: jnp.ndarray,
+    sample_weight: jnp.ndarray,
+    labels: jnp.ndarray,  # (n,) int32; -1 = invalid
+    n_leaves: jnp.ndarray,  # () int32
+    min_points: jnp.ndarray,  # () int32
+    threshold_modifier: float,
+    k_max: int,
+    covariance_type: str,
+):
+    """Evaluate the K=1 vs K=2 split candidate for EVERY leaf in one program.
+
+    All leaf fits are vmapped over the padded leaf axis (a leaf is its
+    weight mask, so shapes are static); the split decision data — BIC
+    improvements, thresholds, child labels and child member counts — come
+    back in one transfer, so the host pays ONE device round-trip per split
+    round instead of several per leaf (the tunnel makes round-trips the
+    dominant cost of the clustered path).
+    """
+    n, d = Xw.shape
+    leaf_ids = jnp.arange(k_max)
+    members = labels[None, :] == leaf_ids[:, None]  # (k_max, n)
+    leaf_w = jnp.where(members, sample_weight[None, :], 0.0)  # (k_max, n)
+    w_tot = jnp.sum(leaf_w, axis=1)
+    n_members = jnp.sum(members, axis=1)
+
+    # threshold = modifier * n_params * log(N_eff) (cluster.py:407-418)
+    w_norm = leaf_w / jnp.maximum(w_tot, _EPS)[:, None]
+    n_eff = 1.0 / jnp.maximum(jnp.sum(w_norm**2, axis=1), _EPS)
+    n_params = d + d * (d + 1) / 2 + 1
+    thresholds = threshold_modifier * n_params * jnp.log(jnp.maximum(n_eff, 1.0))
+
+    keys = jax.random.split(key, k_max)
+    p1 = jax.vmap(lambda k, w: gmm_fit(k, Xw, w, 1, covariance_type))(keys, leaf_w)
+    p2 = jax.vmap(lambda k, w: gmm_fit(k, Xw, w, 2, covariance_type))(keys, leaf_w)
+    bic1 = jax.vmap(lambda p, m: gmm_bic(p, Xw, m, covariance_type))(p1, members)
+    bic2 = jax.vmap(lambda p, m: gmm_bic(p, Xw, m, covariance_type))(p2, members)
+    improvement = bic1 - bic2
+
+    child = jax.vmap(lambda p: gmm_predict(p, Xw))(p2)  # (k_max, n)
+    c0 = jnp.sum(members & (child == 0), axis=1)
+    c1 = jnp.sum(members & (child == 1), axis=1)
+
+    eligible = (
+        (leaf_ids < n_leaves)
+        & (n_members >= min_points)
+        & (w_tot > 0.0)
+        & (improvement > thresholds)
+        & (c0 >= min_points)
+        & (c1 >= min_points)
+    )
+    return {
+        "improvement": jnp.where(eligible, improvement, -jnp.inf),
+        "child": child.astype(jnp.int8),
+        "eligible": eligible,
+    }
+
+
+@partial(jax.jit, static_argnames=("k_max", "covariance_type"))
+def _final_refit(
+    key: jax.Array,
+    Xw: jnp.ndarray,
+    sample_weight: jnp.ndarray,
+    labels: jnp.ndarray,
+    k_max: int,
+    covariance_type: str,
+):
+    """Per-leaf K=1 refits for centers/covariances, batched (cluster.py:527-556)."""
+    n, d = Xw.shape
+    leaf_ids = jnp.arange(k_max)
+    members = labels[None, :] == leaf_ids[:, None]
+    leaf_w = jnp.where(members, sample_weight[None, :], 0.0)
+    keys = jax.random.split(key, k_max)
+    p = jax.vmap(lambda k, w: gmm_fit(k, Xw, w, 1, covariance_type))(keys, leaf_w)
+    n_members = jnp.sum(members, axis=1)
+
+    # Tiny leaves (< d members): plain mean + identity covariance
+    mean_small = jnp.where(
+        members[:, :, None], Xw[None, :, :], 0.0
+    ).sum(axis=1) / jnp.maximum(n_members, 1)[:, None]
+    centers = jnp.where((n_members >= d)[:, None], p.means[:, 0, :], mean_small)
+    covs = jnp.where(
+        (n_members >= d)[:, None, None],
+        p.covariances[:, 0, :, :],
+        jnp.broadcast_to(jnp.eye(d, dtype=Xw.dtype), (k_max, d, d)),
+    )
+    cweights = jnp.sum(leaf_w, axis=1) / jnp.maximum(jnp.sum(sample_weight), _EPS)
+    return centers, covs, cweights
+
+
 class HierarchicalGaussianMixture:
     """Top-down bisecting clusterer, host-orchestrated over jitted fits.
 
     Parity: cluster.py:343-572. Leaf bookkeeping (label arrays, split
     decisions) lives on the host; every leaf's K=1 and K=2 EM fits and BICs
     are evaluated with jitted fixed-shape kernels (the leaf is encoded as a
-    zeroed weight mask so no shapes depend on leaf sizes).
+    zeroed weight mask so no shapes depend on leaf sizes), batched so each
+    split round costs one device round-trip.
     """
 
     def __init__(
@@ -414,78 +520,58 @@ class HierarchicalGaussianMixture:
         labels = np.zeros(n, dtype=np.int32)
         labels[~mask_np] = -1
         n_leaves = 1
-        sw_np = np.asarray(sample_weight)
 
-        fit2_cache = {}
-        for _ in range(self.max_iterations):
-            best = None  # (improvement, leaf, child_labels)
-            for leaf in range(n_leaves):
-                members = labels == leaf
-                n_members = int(members.sum())
-                if n_members < min_points:
-                    continue
-                leaf_w = jnp.where(jnp.asarray(members), sample_weight, 0.0)
-                w_np = sw_np[members]
-                if w_np.sum() <= 0:
-                    continue
-                threshold = self.threshold_modifier * self._bic_tolerance(d, w_np)
-
-                leaf_mask = jnp.asarray(members)
-                p1 = gmm_fit(key, Xw, leaf_w, 1, self.covariance_type)
-                p2 = gmm_fit(key, Xw, leaf_w, 2, self.covariance_type)
-                bic1 = float(gmm_bic(p1, Xw, leaf_mask, self.covariance_type))
-                bic2 = float(gmm_bic(p2, Xw, leaf_mask, self.covariance_type))
-                improvement = bic1 - bic2
-                if self.verbose:
-                    print(
-                        f"Leaf {leaf}: BIC1={bic1:.2f} BIC2={bic2:.2f} "
-                        f"improvement={improvement:.2f} threshold={threshold:.2f}"
-                    )
-                if improvement > threshold and (best is None or improvement > best[0]):
-                    child = np.asarray(gmm_predict(p2, Xw))
-                    c0 = members & (child == 0)
-                    c1 = members & (child == 1)
-                    if c0.sum() >= min_points and c1.sum() >= min_points:
-                        best = (improvement, leaf, child)
-
-            if best is None or n_leaves >= self.k_max:
+        # Each round: ONE batched device program evaluates every leaf's
+        # split candidate, ONE transfer brings back the decision data.
+        for _ in range(min(self.max_iterations, self.k_max - 1)):
+            if n_leaves >= self.k_max:
                 break
-
-            _, leaf, child = best
+            out = _split_round(
+                key,
+                Xw,
+                sample_weight,
+                jnp.asarray(labels),
+                jnp.asarray(n_leaves, jnp.int32),
+                jnp.asarray(min_points, jnp.int32),
+                self.threshold_modifier,
+                self.k_max,
+                self.covariance_type,
+            )
+            out = jax.device_get(out)
+            if not out["eligible"].any():
+                break
+            leaf = int(np.argmax(out["improvement"]))
+            if self.verbose:
+                print(
+                    f"Split leaf {leaf}: improvement="
+                    f"{out['improvement'][leaf]:.2f} (n_leaves -> {n_leaves + 1})"
+                )
+            child = out["child"][leaf]
             members = labels == leaf
-            # Children replace the parent: child 0 keeps the parent's slot
-            # renumbered to the end, matching the reference's pop+extend
-            # relabeling (cluster.py:508-509).
+            # Children replace the parent: child 0 keeps the parent's slot,
+            # child 1 takes a new slot at the end, matching the reference's
+            # pop+extend relabeling (cluster.py:508-509).
             new0, new1 = self._relabel(labels, leaf, n_leaves)
             labels[members & (child == 0)] = new0
             labels[members & (child == 1)] = new1
             labels = self._compact_labels(labels)
             n_leaves += 1
 
-        # Final per-leaf refit (cluster.py:527-556)
-        centers = np.zeros((self.k_max, d), dtype=np.asarray(X).dtype)
-        covs = np.tile(np.eye(d, dtype=np.asarray(X).dtype), (self.k_max, 1, 1))
-        for leaf in range(n_leaves):
-            members = labels == leaf
-            leaf_w = jnp.where(jnp.asarray(members), sample_weight, 0.0)
-            if int(members.sum()) >= d:
-                p = gmm_fit(key, Xw, leaf_w, 1, self.covariance_type)
-                c = np.asarray(p.means[0])
-                cv = np.asarray(p.covariances[0])
-            else:
-                c = np.asarray(Xw)[members].mean(axis=0)
-                cv = np.eye(d)
-            if self.normalize:
-                scale = np.asarray(data_max - data_min) + _EPS
-                c = c * scale + np.asarray(data_min)
-                cv = cv * np.outer(scale, scale)
-            centers[leaf] = c
-            covs[leaf] = cv
-
-        total_w = sw_np.sum()
-        cweights = np.zeros(self.k_max, dtype=np.asarray(X).dtype)
-        for leaf in range(n_leaves):
-            cweights[leaf] = sw_np[labels == leaf].sum() / max(total_w, _EPS)
+        # Final per-leaf refit, batched (cluster.py:527-556)
+        centers_j, covs_j, cweights_j = _final_refit(
+            key, Xw, sample_weight, jnp.asarray(labels), self.k_max, self.covariance_type
+        )
+        centers = np.array(centers_j)
+        covs = np.array(covs_j)
+        cweights = np.array(cweights_j)
+        if self.normalize:
+            scale = np.asarray(data_max - data_min) + _EPS
+            centers = centers * scale + np.asarray(data_min)
+            covs = covs * np.outer(scale, scale)[None]
+        # zero out padded slots beyond n_leaves
+        centers[n_leaves:] = 0.0
+        covs[n_leaves:] = np.eye(d)
+        cweights[n_leaves:] = 0.0
 
         self.model = ClusterModel(
             centers=jnp.asarray(centers),
