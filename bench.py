@@ -89,7 +89,10 @@ def main():
 
     t0 = time.time()
     s.run(n_total=N_TOTAL, progress=False, on_device=True)
-    jax.block_until_ready(s.state.cur.u)
+    # End the timed region at a genuine VALUE fetch: on relayed backends
+    # block_until_ready can return before execution finishes, so blocking
+    # alone understates the wall clock.
+    _ = float(jnp.sum(s.state.cur.logl))
     wall = time.time() - t0
 
     ess = posterior_ess(s)

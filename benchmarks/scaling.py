@@ -12,7 +12,11 @@ the sharded program (numbers are not hardware-representative):
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +57,7 @@ def run_at(n_devices, per_device, n_total_per_device, seed=42):
 
     t0 = time.time()
     s.run(n_total=n_total_per_device * n_devices, progress=False, on_device=True)
-    jax.block_until_ready(s.state.cur.u)
+    _ = float(jnp.sum(s.state.cur.logl))  # genuine value fetch, not just block
     wall = time.time() - t0
 
     logw, _ = compute_logw_and_logz(s.state.hist, 1.0)

@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update(
@@ -194,7 +196,7 @@ def run_config(name, seed=42):
 
     t0 = time.time()
     s.run(n_total=cfg["n_total"], progress=False, on_device=cfg["on_device"])
-    jax.block_until_ready(s.state.cur.u)
+    _ = float(jnp.sum(s.state.cur.logl))  # genuine value fetch, not just block
     wall = time.time() - t0
 
     logw, _ = compute_logw_and_logz(s.state.hist, 1.0)

@@ -228,15 +228,16 @@ class SamplerCore:
         self.n_total = int(n_total)
         self.t0 = t0
         self.pbar = ProgressBar(progress, initial=t0)
-        self.pbar.update_stats(
-            dict(
-                beta=float(self.cur.beta),
-                calls=int(self.cur.calls),
-                ESS=int(self.config.ess_ratio * self.n_particles),
-                logZ=float(self.cur.logz),
-                logL=0.0, acc=0.0, steps=0, eff=0.0, K=1,
+        if self.pbar.enabled:
+            self.pbar.update_stats(
+                dict(
+                    beta=float(self.cur.beta),
+                    calls=int(self.cur.calls),
+                    ESS=int(self.config.ess_ratio * self.n_particles),
+                    logZ=float(self.cur.logz),
+                    logL=0.0, acc=0.0, steps=0, eff=0.0, K=1,
+                )
             )
-        )
 
         if on_device and self._fused_iter is not None and save_every is None:
             self._run_on_device(n_total)
@@ -387,7 +388,7 @@ class SamplerCore:
                 steps=res.steps,
                 calls=self.cur.calls + res.n_calls,
             )
-            if self.pbar is not None:
+            if self.pbar is not None and self.pbar.enabled:
                 self.pbar.update_stats(dict(K=int(mode_stats.n_modes())))
 
         self._update_progress_bar()
@@ -529,7 +530,7 @@ class SamplerCore:
         }
 
     def _update_progress_bar(self):
-        if self.pbar is None:
+        if self.pbar is None or not self.pbar.enabled:
             return
         c = self.cur
         stats = dict(

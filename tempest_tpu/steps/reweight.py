@@ -181,15 +181,26 @@ def reweight(
     ess_at, metric_at = _make_metric_fns(hist, dynamic, denom)
     _, ess_metric_at = _make_metric_fns(hist, False, denom)
 
-    beta_low, beta_high = _find_ess_bracket(ess_at, beta_prev, ess_target, dtype)
-    no_crossing = beta_low == beta_high
-
     if not dynamic:
+        # ESS decreases monotonically in beta, so the bracket search the
+        # reference runs before bisecting (reweight.py:225-297) adds no
+        # information in ESS mode — bisect directly on [beta_prev, 1] with
+        # the same convergence rules and endpoint semantics (stay when the
+        # ESS is already at/below target, jump when ESS(1) >= target).
+        one = jnp.asarray(1.0, dtype)
+        ess_cur = ess_at(beta_prev)
+        ess_one = ess_at(one)
         beta_bisect = _find_beta_bisection(
-            ess_metric_at, beta_prev, beta_high, ess_target, dynamic=False
+            ess_metric_at, beta_prev, one, ess_target, dynamic=False
         )
-        beta = jnp.where(no_crossing, beta_low, beta_bisect)
+        beta = jnp.where(
+            ess_cur <= ess_target,
+            beta_prev,
+            jnp.where(ess_one >= ess_target, one, beta_bisect),
+        )
     else:
+        beta_low, beta_high = _find_ess_bracket(ess_at, beta_prev, ess_target, dtype)
+        no_crossing = beta_low == beta_high
         cv_target_arr = jnp.asarray(cv_target, dtype)
         cv_prev, _ = metric_at(beta_prev)
         cv_high, _ = metric_at(beta_high)

@@ -17,6 +17,11 @@ class ProgressBar:
     def __init__(self, show: bool = True, initial: int = 0):
         if tqdm is None:
             show = False
+        # `enabled` gates stat collection in the caller: assembling the
+        # postfix pulls ~9 device scalars per iteration, each a genuine
+        # host<->device round-trip — skip it entirely when not displaying.
+        self.enabled = bool(show)
+        if tqdm is None:
             self.progress_bar = None
         else:
             self.progress_bar = tqdm(desc="Iter", disable=not show, initial=initial)

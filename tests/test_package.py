@@ -27,6 +27,7 @@ SUBMODULES = [
     "tempest_tpu.steps.resample",
     "tempest_tpu.steps.mutate",
     "tempest_tpu.parallel.mesh",
+    "tempest_tpu.parallel.distributed",
     "tempest_tpu.utils.checkpoint",
     "tempest_tpu.utils.progress",
     "tempest_tpu.utils.profiling",
