@@ -187,17 +187,27 @@ def reweight(
         # information in ESS mode — bisect directly on [beta_prev, 1] with
         # the same convergence rules and endpoint semantics (stay when the
         # ESS is already at/below target, jump when ESS(1) >= target).
-        one = jnp.asarray(1.0, dtype)
-        ess_cur = ess_at(beta_prev)
-        ess_one = ess_at(one)
-        beta_bisect = _find_beta_bisection(
-            ess_metric_at, beta_prev, one, ess_target, dynamic=False
-        )
-        beta = jnp.where(
-            ess_cur <= ess_target,
-            beta_prev,
-            jnp.where(ess_one >= ess_target, one, beta_bisect),
-        )
+        from ..ops.pallas_reweight import ess_bisect_beta, pallas_supported
+
+        if pallas_supported(hist.logl.size, hist.logl.dtype):
+            # Entire bisection in one VMEM-resident TPU kernel: logl and
+            # the masked denominator load once; every probe is on-chip.
+            bm = jnp.where(hist.sample_mask(), denom, jnp.inf)
+            beta = ess_bisect_beta(
+                hist.flat_logl(), bm, beta_prev, ess_target
+            ).astype(dtype)
+        else:
+            one = jnp.asarray(1.0, dtype)
+            ess_cur = ess_at(beta_prev)
+            ess_one = ess_at(one)
+            beta_bisect = _find_beta_bisection(
+                ess_metric_at, beta_prev, one, ess_target, dynamic=False
+            )
+            beta = jnp.where(
+                ess_cur <= ess_target,
+                beta_prev,
+                jnp.where(ess_one >= ess_target, one, beta_bisect),
+            )
     else:
         beta_low, beta_high = _find_ess_bracket(ess_at, beta_prev, ess_target, dtype)
         no_crossing = beta_low == beta_high
