@@ -1,0 +1,152 @@
+"""Per-kernel timing on the bench configuration (10-D Rosenbrock, N=1024).
+
+Times each stage of the fused PS iteration separately on the live backend,
+feeding EVOLVING inputs each call (the axon relay memoizes identical-input
+executions — see CLAUDE.md), so the numbers reflect real device execution.
+
+    python benchmarks/kernel_times.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from tempest_tpu.config import DOF_FALLBACK, TRIM_BINS, TRIM_ESS, SamplerConfig
+from tempest_tpu.mcmc import make_mcmc_kernel
+from tempest_tpu.modes import fit_global_mode, make_mode_statistics
+from tempest_tpu.ops.tools import trim_weights_mask
+from tempest_tpu.state import commit, compute_logw_and_logz, make_current, make_history
+from tempest_tpu.steps.resample import resample as resample_step
+from tempest_tpu.steps.reweight import reweight as reweight_step
+from tempest_tpu.cluster import single_cluster_model
+
+N_DIM, N_PART, CAP = 10, 1024, 128
+
+
+def prior_batch(u):
+    return -10.0 + 20.0 * u
+
+
+def loglike_batch(x):
+    return (
+        -jnp.sum(
+            100.0 * (x[..., 1:] - x[..., :-1] ** 2) ** 2 + (1.0 - x[..., :-1]) ** 2,
+            axis=-1,
+        ),
+        None,
+    )
+
+
+def build_state(n_iters=20, seed=0):
+    """A realistic mid-run history: n_iters committed iterations."""
+    key = jax.random.PRNGKey(seed)
+    hist = make_history(CAP, N_PART, N_DIM, dtype=jnp.float32)
+    cur = make_current(N_PART, N_DIM, dtype=jnp.float32)
+    beta = 0.0
+    for t in range(n_iters):
+        key, k = jax.random.split(key)
+        u = jax.random.uniform(k, (N_PART, N_DIM), dtype=jnp.float32)
+        x = prior_batch(u)
+        logl, _ = loglike_batch(x)
+        beta = min(1.0, beta + 0.01 * (t + 1))
+        cur = cur.replace(
+            u=u, x=x, logl=logl,
+            beta=jnp.asarray(beta, jnp.float32),
+            logz=jnp.asarray(-0.5 * t, jnp.float32),
+            ess=jnp.asarray(2.0 * N_PART, jnp.float32),
+            iteration=jnp.asarray(t + 1, jnp.int32),
+        )
+        hist = commit(hist, cur)
+    return key, hist, cur
+
+
+def timeit(name, fn, args_fn, n=20):
+    # warm-up/compile
+    out = fn(*args_fn(0))
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for i in range(1, n + 1):
+        out = fn(*args_fn(i))
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / n * 1e3
+    print(f"{name:<28s} {dt:8.2f} ms")
+    return dt
+
+
+def main():
+    key, hist, cur = build_state()
+    jax.block_until_ready(hist)
+    ess_target = 2.0 * N_PART
+
+    # --- reweight (bracket + bisection) -----------------------------------
+    rw_fn = jax.jit(lambda h, b: reweight_step(h, b, ess_target))
+    betas = [jnp.asarray(0.1 + 0.001 * i, jnp.float32) for i in range(40)]
+    timeit("reweight (bisection)", rw_fn, lambda i: (hist, betas[i]))
+
+    rw = rw_fn(hist, betas[0])
+    weights = rw.weights
+
+    # --- trim + global Student-t fit ---------------------------------------
+    def train_fn(k, h, w):
+        _, w_trim = trim_weights_mask(w, mask=h.sample_mask(), ess=TRIM_ESS, bins=TRIM_BINS)
+        return fit_global_mode(k, h.flat_u(), w_trim,
+                               n_resample=4 * N_PART, dof_fallback=DOF_FALLBACK)
+    train_j = jax.jit(train_fn)
+    keys = jax.random.split(key, 64)
+    timeit("trim + student-t fit", train_j, lambda i: (keys[i], hist, weights))
+
+    modes = train_j(keys[0], hist, weights)
+
+    # --- resample -----------------------------------------------------------
+    dummy = single_cluster_model(N_DIM, 1, jnp.float32)
+    res_fn = jax.jit(
+        lambda k, h, w: resample_step(k, h, w, dummy, N_PART, method="mult", clustering=False)
+    )
+    timeit("resample (mult)", res_fn, lambda i: (keys[i], hist, weights))
+
+    u, x, logl, blobs, assignments = res_fn(keys[0], hist, weights)
+
+    # --- one MCMC sweep (adaptive) ------------------------------------------
+    mcmc = make_mcmc_kernel(loglike_batch, prior_batch, N_DIM, method="tpcn",
+                            n_steps=1, n_max_steps=20)
+    beta = jnp.asarray(0.5, jnp.float32)
+    def mcmc_args(i):
+        return (keys[i], u, x, logl, None, assignments, beta, modes)
+    timeit("mcmc sweep (adaptive)", mcmc, mcmc_args)
+
+    # steps per sweep for context
+    res = mcmc(*mcmc_args(0))
+    print(f"{'  (steps in sweep)':<28s} {int(res.steps):8d}")
+
+    # --- commit --------------------------------------------------------------
+    # Pre-stage the varying scalar on device: a host->device upload inside the
+    # timed loop would measure the axon tunnel, not the kernel.
+    commit_j = jax.jit(commit)
+    logzs = [jax.device_put(jnp.asarray(-0.1 * i, jnp.float32)) for i in range(64)]
+    jax.block_until_ready(logzs)
+    def commit_args(i):
+        return (hist, cur.replace(logz=logzs[i]))
+    timeit("commit (+MIS accumulator)", commit_j, commit_args)
+
+    # --- full-history posterior weights (termination check) ------------------
+    post_fn = jax.jit(lambda h, z: compute_logw_and_logz(h, 1.0)[0] + z)
+    zs = [jax.device_put(jnp.asarray(float(i), jnp.float32)) for i in range(64)]
+    jax.block_until_ready(zs)
+    timeit("posterior logw (beta=1)", post_fn, lambda i: (hist, zs[i]))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,13 @@ from .utils.wrappers import (
     infer_blob_size,
 )
 
+# Committing on sharded state must run as ONE compiled SPMD program:
+# op-by-op eager dispatch on mesh-sharded arrays makes XLA:CPU rendezvous
+# per-op collectives from independent executions, which can abort (seen as
+# an AllGatherThunk CHECK failure on the 8-virtual-device backend).
+_commit_jit = jax.jit(commit)
+
+
 
 class SamplerCore:
     """Internal coordinator; the public Sampler facade delegates here."""
@@ -286,9 +293,13 @@ class SamplerCore:
         Parity: core.py:360-374."""
         if int(self.hist.t) == 0:
             return True
-        ess = float(self._posterior_ess(self.hist))
         beta = float(self.cur.beta)
-        return 1.0 - beta >= 1e-4 or ess < (self.n_total or 0)
+        if 1.0 - beta >= 1e-4:
+            # Short-circuit: the posterior-ESS check only matters once beta
+            # has reached 1; skipping it avoids an O(T*N) device program +
+            # host sync per iteration on the host-loop path.
+            return True
+        return float(self._posterior_ess(self.hist)) < (self.n_total or 0)
 
     # ------------------------------------------------------------------
     def execute_iteration(self, save_every: Optional[int] = None, t0: int = 0) -> dict:
@@ -350,7 +361,7 @@ class SamplerCore:
                 # (train.py:79-88, resample.py:68-72, mutate.py:99-149).
                 self._run_warmup_mutation()
                 self._update_progress_bar()
-                self.hist = commit(self.hist, self.cur)
+                self.hist = _commit_jit(self.hist, self.cur)
                 return self.get_current_dict()
 
             # --- train -------------------------------------------------
@@ -392,7 +403,7 @@ class SamplerCore:
                 self.pbar.update_stats(dict(K=int(mode_stats.n_modes())))
 
         self._update_progress_bar()
-        self.hist = commit(self.hist, self.cur)
+        self.hist = _commit_jit(self.hist, self.cur)
         return self.get_current_dict()
 
     def _run_warmup_mutation(self):

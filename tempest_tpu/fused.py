@@ -178,9 +178,19 @@ def make_fused_run(
 
         def cond(c):
             _, hist, cur = c
-            logw, _ = compute_logw_and_logz(hist, 1.0)
-            ess = ess_from_logw(logw)
-            not_term = (1.0 - cur.beta >= 1e-4) | (ess < n_total)
+
+            def ess_below_target(h):
+                # O(T_max*N) posterior-ESS check — only needed once beta has
+                # reached 1 (before that the beta predicate alone continues
+                # the loop), so gate it behind lax.cond instead of paying
+                # ~2.5ms of logsumexp traffic every iteration.
+                logw, _ = compute_logw_and_logz(h, 1.0)
+                return ess_from_logw(logw) < n_total
+
+            beta_unfinished = 1.0 - cur.beta >= 1e-4
+            not_term = jax.lax.cond(
+                beta_unfinished, lambda h: jnp.asarray(True), ess_below_target, hist
+            )
             return not_term & (hist.t < capacity)
 
         def body(c):
