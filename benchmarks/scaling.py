@@ -6,8 +6,10 @@ scaling efficiency relative to 1 device. On a real pod this measures
 ICI-collective overheads; on the CPU 8-virtual-device backend it validates
 the sharded program (numbers are not hardware-representative):
 
-    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python benchmarks/scaling.py --per-device 128
+    python benchmarks/scaling.py --cpu --per-device 128
+
+(--cpu forces an 8-virtual-device CPU backend from inside the script;
+plain env vars do not survive this machine's sitecustomize override.)
 """
 
 import argparse
@@ -18,7 +20,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# --cpu must act BEFORE jax initializes: sitecustomize on this machine
+# overrides the JAX_PLATFORMS env var, so the only reliable route is
+# XLA_FLAGS in os.environ plus jax.config (same trick as tests/conftest.py).
+_CPU = "--cpu" in sys.argv
+_N_VIRTUAL = 8
+if _CPU:
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={_N_VIRTUAL}"
+    ).strip()
+
 import jax
+
+if _CPU:
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 
@@ -76,6 +93,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--per-device", type=int, default=512)
     p.add_argument("--n-total-per-device", type=int, default=2048)
+    p.add_argument(
+        "--cpu",
+        action="store_true",
+        help=f"force a {_N_VIRTUAL}-virtual-device CPU backend (validates the "
+        "sharded program when only one real chip is attached)",
+    )
     args = p.parse_args()
 
     n_avail = len(jax.devices())
