@@ -405,6 +405,108 @@ def _split_round(
     }
 
 
+@partial(jax.jit, static_argnames=("k_max", "covariance_type", "max_rounds", "normalize"))
+def hgm_fit(
+    key: jax.Array,
+    X: jnp.ndarray,
+    sample_weight: jnp.ndarray,
+    mask: jnp.ndarray,
+    min_points: jnp.ndarray,  # () int32
+    threshold_modifier: jnp.ndarray,  # () float
+    k_max: int,
+    covariance_type: str,
+    max_rounds: int,
+    normalize: bool,
+):
+    """The ENTIRE hierarchical fit as one device program.
+
+    The bisecting loop (cluster.py:445-521 in the reference) runs as a
+    `lax.while_loop`: each round evaluates every leaf's K=1 vs K=2 split
+    candidate (vmapped over the padded leaf axis), splits the
+    best-improvement eligible leaf, and stops when nothing is eligible or
+    K reaches k_max. Zero host round-trips — on a tunneled backend the
+    transfers (child-label matrices, normalized data) previously dominated
+    the clustered path's wall clock.
+
+    Returns (model, labels, n_leaves), all device values.
+    """
+    n, d = X.shape
+    dtype = X.dtype
+    sw = jnp.where(mask, sample_weight, 0.0)
+
+    # Normalization bounds over valid rows (cluster.py:436-439)
+    if normalize:
+        inf = jnp.asarray(jnp.inf, dtype)
+        data_min = jnp.min(jnp.where(mask[:, None], X, inf), axis=0)
+        data_max = jnp.max(jnp.where(mask[:, None], X, -inf), axis=0)
+        Xw = (X - data_min) / (data_max - data_min + _EPS)
+    else:
+        data_min = jnp.zeros((d,), dtype=dtype)
+        data_max = jnp.ones((d,), dtype=dtype)
+        Xw = X
+
+    labels0 = jnp.where(mask, 0, -1).astype(jnp.int32)
+
+    def cond(c):
+        return c["go"] & (c["n_leaves"] < k_max) & (c["round"] < max_rounds)
+
+    def body(c):
+        out = _split_round(
+            key, Xw, sw, c["labels"], c["n_leaves"], min_points,
+            threshold_modifier, k_max, covariance_type,
+        )
+        any_elig = jnp.any(out["eligible"])
+        leaf = jnp.argmax(out["improvement"]).astype(jnp.int32)
+        child_row = out["child"][leaf].astype(jnp.int32)  # (n,)
+        # Children replace the parent: child 0 keeps the parent's slot,
+        # child 1 takes the next free slot (reference's pop+extend
+        # relabeling, cluster.py:508-509).
+        members = c["labels"] == leaf
+        new_labels = jnp.where(members & (child_row == 1), c["n_leaves"], c["labels"])
+        return {
+            "labels": jnp.where(any_elig, new_labels, c["labels"]),
+            "n_leaves": c["n_leaves"] + any_elig.astype(jnp.int32),
+            "go": any_elig,
+            "round": c["round"] + 1,
+        }
+
+    state = jax.lax.while_loop(
+        cond,
+        body,
+        {
+            "labels": labels0,
+            "n_leaves": jnp.asarray(1, jnp.int32),
+            "go": jnp.asarray(True),
+            "round": jnp.asarray(0, jnp.int32),
+        },
+    )
+    labels, n_leaves = state["labels"], state["n_leaves"]
+
+    centers, covs, cweights = _final_refit(
+        key, Xw, sw, labels, k_max, covariance_type
+    )
+    k_mask = jnp.arange(k_max) < n_leaves
+    if normalize:
+        scale = data_max - data_min + _EPS
+        centers = centers * scale[None, :] + data_min[None, :]
+        covs = covs * (scale[:, None] * scale[None, :])[None]
+    centers = jnp.where(k_mask[:, None], centers, 0.0)
+    covs = jnp.where(
+        k_mask[:, None, None], covs, jnp.eye(d, dtype=dtype)[None]
+    )
+    cweights = jnp.where(k_mask, cweights, 0.0)
+    model = ClusterModel(
+        centers=centers,
+        covariances=covs,
+        weights=cweights,
+        k_mask=k_mask,
+        data_min=data_min,
+        data_max=data_max,
+        normalize=normalize,
+    )
+    return model, labels, n_leaves
+
+
 @partial(jax.jit, static_argnames=("k_max", "covariance_type"))
 def _final_refit(
     key: jax.Array,
@@ -438,13 +540,14 @@ def _final_refit(
 
 
 class HierarchicalGaussianMixture:
-    """Top-down bisecting clusterer, host-orchestrated over jitted fits.
+    """Top-down bisecting clusterer over jitted fits (see `hgm_fit`).
 
-    Parity: cluster.py:343-572. Leaf bookkeeping (label arrays, split
-    decisions) lives on the host; every leaf's K=1 and K=2 EM fits and BICs
-    are evaluated with jitted fixed-shape kernels (the leaf is encoded as a
-    zeroed weight mask so no shapes depend on leaf sizes), batched so each
-    split round costs one device round-trip.
+    Parity: cluster.py:343-572. The whole bisecting loop — every leaf's
+    K=1/K=2 EM fits, BIC gates, split decisions, and relabeling — runs as
+    ONE device program (a leaf is encoded as a zeroed weight mask so no
+    shapes depend on leaf sizes); this class only holds configuration and
+    the fitted model, and converts to NumPy lazily for the inspection
+    attributes (`labels_`, `n_clusters_`).
     """
 
     def __init__(
@@ -471,8 +574,18 @@ class HierarchicalGaussianMixture:
         self.k_max = k_max
         self.seed = seed
         self.model: Optional[ClusterModel] = None
-        self.labels_: Optional[np.ndarray] = None
-        self.n_clusters_: int = 0
+        self._labels_dev: Optional[jnp.ndarray] = None
+        self._n_leaves_dev = None
+
+    # -- inspection attributes (lazy device->host pulls; the hot path
+    #    never touches them) ------------------------------------------------
+    @property
+    def labels_(self) -> Optional[np.ndarray]:
+        return None if self._labels_dev is None else np.asarray(self._labels_dev)
+
+    @property
+    def n_clusters_(self) -> int:
+        return 0 if self._n_leaves_dev is None else int(self._n_leaves_dev)
 
     # -- internals ---------------------------------------------------------
     @staticmethod
@@ -490,7 +603,11 @@ class HierarchicalGaussianMixture:
         sample_weight=None,
         mask=None,
     ) -> "HierarchicalGaussianMixture":
-        """Fit on (n, d) data; `mask` marks valid rows (fixed-shape path)."""
+        """Fit on (n, d) data; `mask` marks valid rows (fixed-shape path).
+
+        Pure device dispatch: the whole bisecting loop runs inside one
+        jitted program (`hgm_fit`) and nothing is pulled back to the host.
+        """
         X = jnp.asarray(X)
         n, d = X.shape
         if sample_weight is None:
@@ -498,102 +615,26 @@ class HierarchicalGaussianMixture:
         else:
             sample_weight = jnp.asarray(sample_weight, dtype=X.dtype)
         if mask is None:
-            mask_np = np.ones(n, dtype=bool)
+            mask = jnp.ones((n,), dtype=bool)
         else:
-            mask_np = np.asarray(mask)
-        sample_weight = jnp.where(jnp.asarray(mask_np), sample_weight, 0.0)
-
-        # Normalization bounds over valid data (cluster.py:436-439)
-        if self.normalize:
-            Xv = np.asarray(X)[mask_np]
-            data_min = jnp.asarray(Xv.min(axis=0))
-            data_max = jnp.asarray(Xv.max(axis=0))
-            Xw = (X - data_min) / (data_max - data_min + _EPS)
-        else:
-            data_min = jnp.zeros((d,), dtype=X.dtype)
-            data_max = jnp.ones((d,), dtype=X.dtype)
-            Xw = X
+            mask = jnp.asarray(mask, dtype=bool)
 
         min_points = self.min_points if self.min_points is not None else 2 * d
-        key = jax.random.PRNGKey(self.seed)
-
-        labels = np.zeros(n, dtype=np.int32)
-        labels[~mask_np] = -1
-        n_leaves = 1
-
-        # Each round: ONE batched device program evaluates every leaf's
-        # split candidate, ONE transfer brings back the decision data.
-        for _ in range(min(self.max_iterations, self.k_max - 1)):
-            if n_leaves >= self.k_max:
-                break
-            out = _split_round(
-                key,
-                Xw,
-                sample_weight,
-                jnp.asarray(labels),
-                jnp.asarray(n_leaves, jnp.int32),
-                jnp.asarray(min_points, jnp.int32),
-                self.threshold_modifier,
-                self.k_max,
-                self.covariance_type,
-            )
-            out = jax.device_get(out)
-            if not out["eligible"].any():
-                break
-            leaf = int(np.argmax(out["improvement"]))
-            if self.verbose:
-                print(
-                    f"Split leaf {leaf}: improvement="
-                    f"{out['improvement'][leaf]:.2f} (n_leaves -> {n_leaves + 1})"
-                )
-            child = out["child"][leaf]
-            members = labels == leaf
-            # Children replace the parent: child 0 keeps the parent's slot,
-            # child 1 takes a new slot at the end, matching the reference's
-            # pop+extend relabeling (cluster.py:508-509).
-            new0, new1 = self._relabel(labels, leaf, n_leaves)
-            labels[members & (child == 0)] = new0
-            labels[members & (child == 1)] = new1
-            labels = self._compact_labels(labels)
-            n_leaves += 1
-
-        # Final per-leaf refit, batched (cluster.py:527-556)
-        centers_j, covs_j, cweights_j = _final_refit(
-            key, Xw, sample_weight, jnp.asarray(labels), self.k_max, self.covariance_type
+        self.model, self._labels_dev, self._n_leaves_dev = hgm_fit(
+            jax.random.PRNGKey(self.seed),
+            X,
+            sample_weight,
+            mask,
+            jnp.asarray(min_points, jnp.int32),
+            jnp.asarray(self.threshold_modifier, X.dtype),
+            self.k_max,
+            self.covariance_type,
+            min(self.max_iterations, self.k_max - 1),
+            self.normalize,
         )
-        centers = np.array(centers_j)
-        covs = np.array(covs_j)
-        cweights = np.array(cweights_j)
-        if self.normalize:
-            scale = np.asarray(data_max - data_min) + _EPS
-            centers = centers * scale + np.asarray(data_min)
-            covs = covs * np.outer(scale, scale)[None]
-        # zero out padded slots beyond n_leaves
-        centers[n_leaves:] = 0.0
-        covs[n_leaves:] = np.eye(d)
-        cweights[n_leaves:] = 0.0
-
-        self.model = ClusterModel(
-            centers=jnp.asarray(centers),
-            covariances=jnp.asarray(covs),
-            weights=jnp.asarray(cweights),
-            k_mask=jnp.arange(self.k_max) < n_leaves,
-            data_min=data_min,
-            data_max=data_max,
-            normalize=self.normalize,
-        )
-        self.labels_ = labels
-        self.n_clusters_ = n_leaves
+        if self.verbose:
+            print(f"HGM fit: {self.n_clusters_} leaves")
         return self
-
-    @staticmethod
-    def _relabel(labels, leaf, n_leaves):
-        """Assign child labels: child0 -> parent slot, child1 -> new slot."""
-        return leaf, n_leaves
-
-    @staticmethod
-    def _compact_labels(labels):
-        return labels
 
     def predict(self, X) -> np.ndarray:
         if self.model is None:

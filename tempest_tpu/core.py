@@ -115,11 +115,13 @@ class SamplerCore:
             dtype=cfg.dtype,
         )
 
-        # Clustering-off fast path: the entire iteration (reweight + train +
-        # resample + mutate + commit) fuses into ONE jitted program — a
-        # single device dispatch per PS iteration (see fused.py).
+        # Fused fast path: the entire iteration (reweight + clustering +
+        # train + resample + mutate + commit) fuses into ONE jitted program
+        # — a single device dispatch per PS iteration (see fused.py). Only
+        # cluster_every > 1 needs the host loop (the refit cadence carries
+        # the fitted model between iterations).
         self._fused_iter = None
-        if not cfg.clustering:
+        if not cfg.clustering or cfg.cluster_every == 1:
             from .fused import make_fused_iteration
 
             self._fused_iter = make_fused_iteration(
@@ -223,9 +225,10 @@ class SamplerCore:
     ) -> None:
         """Full annealing run. Parity: core.py:110-160.
 
-        on_device=True (clustering off, no periodic saving): the entire
-        annealing loop executes as one device program (fused.make_fused_run)
-        with zero per-iteration host round-trips."""
+        on_device=True (no periodic saving; clustering off or
+        cluster_every == 1): the entire annealing loop executes as one
+        device program (fused.make_fused_run) with zero per-iteration host
+        round-trips."""
         if resume_state_path is not None:
             self.load_sampler_state(resume_state_path)
             t0 = int(self.cur.iteration)

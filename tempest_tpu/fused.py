@@ -1,15 +1,17 @@
 """Fused one-iteration PS step: the whole pipeline in a single jitted program.
 
-For the global-preconditioner path (clustering disabled) the complete
-iteration — reweight (bracket + beta bisection), weight trimming, Student-t
-training, resampling, and the full adaptive MCMC mutation — compiles into
-ONE XLA program with no host round-trips. This is both the single-chip
-speed-of-light path and the multi-chip SPMD path: with the history/current
-buffers sharded over a `particles` mesh axis, XLA inserts the psum /
-all-gather collectives for the weight reductions and resampling gathers.
+The complete iteration — reweight (bracket + beta bisection), weight
+trimming, hierarchical GMM clustering (the whole BIC-gated bisecting loop,
+see cluster.hgm_fit), per-mode Student-t training, resampling, and the full
+adaptive MCMC mutation — compiles into ONE XLA program with no host
+round-trips. This is both the single-chip speed-of-light path and the
+multi-chip SPMD path: with the history/current buffers sharded over a
+`particles` mesh axis, XLA inserts the psum / all-gather collectives for
+the weight reductions and resampling gathers.
 
-(The clustered path keeps the hierarchical split decisions on the host —
-see steps/train.py — and fuses everything else.)
+(Clustering with `cluster_every > 1` keeps the host loop — the refit
+cadence needs the fitted model carried between iterations; see
+steps/train.py.)
 """
 
 from __future__ import annotations
@@ -21,15 +23,15 @@ import jax
 import jax.numpy as jnp
 
 from .config import DOF_FALLBACK, TRIM_BINS, TRIM_ESS, SamplerConfig
+from .cluster import cluster_predict, hgm_fit, single_cluster_model
 from .mcmc import make_mcmc_kernel
-from .modes import fit_global_mode
+from .modes import fit_global_mode, fit_mode_statistics
 from .ops.boundary import make_boundary_masks
 from .ops.tools import trim_weights_mask
 from .state import Current, History, commit, compute_logw_and_logz
 from .steps.mutate import make_warmup_kernel
 from .steps.resample import resample as resample_step
 from .steps.reweight import reweight as reweight_step
-from .cluster import single_cluster_model
 
 
 def _make_iteration_fn(
@@ -39,10 +41,15 @@ def _make_iteration_fn(
 ) -> Callable:
     """Unjitted single-iteration fn: (key, hist, cur) -> (hist, cur).
 
-    Requires clustering=False (global Student-t preconditioner). The caller
-    handles the warm-up (t == 0) iteration and capacity growth.
+    Supports both the global Student-t preconditioner (clustering off) and
+    the full clustered path (hierarchical GMM + per-mode statistics) as long
+    as `cluster_every == 1` (every-iteration refits carry no state between
+    iterations). The caller handles the warm-up (t == 0) iteration and
+    capacity growth.
     """
     cfg = config
+    clustered = cfg.clustering
+    k_max = cfg.k_max if clustered else 1
     p_mask, r_mask, s_mask = make_boundary_masks(cfg.n_dim, cfg.periodic, cfg.reflective)
     mcmc = make_mcmc_kernel(
         log_likelihood_batch,
@@ -57,23 +64,57 @@ def _make_iteration_fn(
         have_blobs=cfg.blobs_dtype is not None,
     )
     n_resample = max(64, 4 * cfg.n_particles)
-    dummy_cluster = single_cluster_model(cfg.n_dim, 1, cfg.dtype)
+    dummy_cluster = single_cluster_model(cfg.n_dim, k_max, cfg.dtype)
     warmup = make_warmup_kernel(
         log_likelihood_batch, prior_transform_batch, cfg.n_particles, cfg.n_dim, cfg.dtype
+    )
+    # Same clusterer parameters as steps/train.py's Trainer (which mirrors
+    # core.py:57-69 in the reference): fixed fit seed 42, min_points 2*d
+    # (4*d when n_max_clusters caps K), at most k_max-1 split rounds.
+    hgm_min_points = 2 * cfg.n_dim if cfg.n_max_clusters is None else 4 * cfg.n_dim
+    hgm_max_rounds = max(
+        min(1000 if cfg.n_max_clusters is None else cfg.n_max_clusters - 1, k_max - 1),
+        0,
     )
 
     def _mutate_branch(args):
         key, hist, cur, weights = args
         k_train, k_res, k_mut = jax.random.split(key, 3)
-        _, w_trim = trim_weights_mask(
+        keep_mask, w_trim = trim_weights_mask(
             weights, mask=hist.sample_mask(), ess=TRIM_ESS, bins=TRIM_BINS
         )
-        modes = fit_global_mode(
-            k_train, hist.flat_u(), w_trim, n_resample=n_resample, dof_fallback=DOF_FALLBACK
-        )
+        if clustered:
+            cluster_model, _, _ = hgm_fit(
+                jax.random.PRNGKey(42),
+                hist.flat_u(),
+                w_trim,
+                keep_mask,
+                jnp.asarray(hgm_min_points, jnp.int32),
+                jnp.asarray(cfg.split_threshold, cfg.dtype),
+                k_max,
+                "full",
+                hgm_max_rounds,
+                cfg.normalize,
+            )
+            labels = cluster_predict(cluster_model, hist.flat_u())
+            modes = fit_mode_statistics(
+                k_train,
+                hist.flat_u(),
+                w_trim,
+                labels,
+                k_max=k_max,
+                n_resample=n_resample,
+                dof_fallback=DOF_FALLBACK,
+            )
+        else:
+            cluster_model = dummy_cluster
+            modes = fit_global_mode(
+                k_train, hist.flat_u(), w_trim,
+                n_resample=n_resample, dof_fallback=DOF_FALLBACK,
+            )
         u, x, logl, blobs, assignments = resample_step(
-            k_res, hist, weights, dummy_cluster, cfg.n_particles,
-            method=cfg.resample, clustering=False,
+            k_res, hist, weights, cluster_model, cfg.n_particles,
+            method=cfg.resample, clustering=clustered,
         )
         res = mcmc(k_mut, u, x, logl, blobs, assignments, cur.beta, modes)
         return cur.replace(

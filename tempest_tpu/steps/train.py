@@ -13,7 +13,12 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..cluster import ClusterModel, HierarchicalGaussianMixture, single_cluster_model
+from ..cluster import (
+    ClusterModel,
+    HierarchicalGaussianMixture,
+    cluster_predict,
+    single_cluster_model,
+)
 from ..config import TRIM_BINS, TRIM_ESS
 from ..modes import ModeStatistics, fit_global_mode, fit_mode_statistics
 from ..ops.tools import trim_weights_mask
@@ -89,7 +94,9 @@ class Trainer:
             if refit or self.clusterer.model is None:
                 self.clusterer.fit(u_flat, w_trim, mask=keep_mask)
                 self._model = self.clusterer.model
-            labels = jnp.asarray(self.clusterer.predict(u_flat), dtype=jnp.int32)
+            # Device-native predict — the class method would round-trip the
+            # (T*N,) label array through the host on every iteration.
+            labels = cluster_predict(self._model, u_flat)
             return fit_mode_statistics(
                 key,
                 u_flat,
