@@ -159,7 +159,7 @@ def _lower_bound(X, pi, means, covs, sample_weight, reg_covar):
     return jnp.sum(sample_weight * jnp.log(lik + _EPS))
 
 
-@partial(jax.jit, static_argnames=("n_components", "covariance_type", "max_iter"))
+@partial(jax.jit, static_argnames=("n_components", "covariance_type", "max_iter", "n_init"))
 def gmm_fit(
     key: jax.Array,
     X: jnp.ndarray,
@@ -169,43 +169,58 @@ def gmm_fit(
     max_iter: int = 1000,
     tol: float = 1e-3,
     reg_covar: float = 1e-6,
+    n_init: int = 1,
 ) -> GMMParams:
-    """Fit a weighted GMM by EM; zero-weight samples are ignored."""
+    """Fit a weighted GMM by EM; zero-weight samples are ignored.
+
+    n_init > 1 runs that many independently-seeded EM fits (vmapped, so all
+    restarts execute as one batched program) and keeps the one with the best
+    weighted lower bound — parity with the reference's restart loop
+    (cluster.py:97-131).
+    """
     sw = sample_weight / jnp.maximum(jnp.sum(sample_weight), _EPS)
-    resp0 = _kmeanspp_init(key, X, sw, n_components)
-    pi0, means0, covs0 = _m_step(X, resp0, sw, covariance_type)
 
-    def cond(c):
-        return (~c["done"]) & (c["i"] < max_iter)
+    def single_fit(key: jax.Array) -> GMMParams:
+        resp0 = _kmeanspp_init(key, X, sw, n_components)
+        pi0, means0, covs0 = _m_step(X, resp0, sw, covariance_type)
 
-    def body(c):
-        resp = _e_step(X, c["pi"], c["means"], c["covs"], reg_covar)
-        pi, means, covs = _m_step(X, resp, sw, covariance_type)
-        new_lb = _lower_bound(X, pi, means, covs, sw, reg_covar)
-        done = (new_lb - c["lb"]) < tol
-        lb = jnp.where(done, c["lb"], new_lb)
-        return {
-            "pi": pi, "means": means, "covs": covs,
-            "lb": lb, "i": c["i"] + 1, "done": done,
+        def cond(c):
+            return (~c["done"]) & (c["i"] < max_iter)
+
+        def body(c):
+            resp = _e_step(X, c["pi"], c["means"], c["covs"], reg_covar)
+            pi, means, covs = _m_step(X, resp, sw, covariance_type)
+            new_lb = _lower_bound(X, pi, means, covs, sw, reg_covar)
+            done = (new_lb - c["lb"]) < tol
+            lb = jnp.where(done, c["lb"], new_lb)
+            return {
+                "pi": pi, "means": means, "covs": covs,
+                "lb": lb, "i": c["i"] + 1, "done": done,
+            }
+
+        init = {
+            "pi": pi0, "means": means0, "covs": covs0,
+            "lb": jnp.asarray(-jnp.inf, X.dtype),
+            "i": jnp.asarray(0, jnp.int32),
+            "done": jnp.asarray(False),
         }
+        out = jax.lax.while_loop(cond, body, init)
+        # Reference keeps the last computed bound even when it triggered the
+        # break (cluster.py:113-126 stores best over inits).
+        final_lb = _lower_bound(X, out["pi"], out["means"], out["covs"], sw, reg_covar)
+        return GMMParams(
+            weights=out["pi"],
+            means=out["means"],
+            covariances=out["covs"],
+            lower_bound=final_lb,
+            n_iter=out["i"],
+        )
 
-    init = {
-        "pi": pi0, "means": means0, "covs": covs0,
-        "lb": jnp.asarray(-jnp.inf, X.dtype),
-        "i": jnp.asarray(0, jnp.int32),
-        "done": jnp.asarray(False),
-    }
-    out = jax.lax.while_loop(cond, body, init)
-    # Reference keeps the last computed bound even when it triggered the
-    # break (cluster.py:113-126 stores best over inits).
-    final_lb = _lower_bound(X, out["pi"], out["means"], out["covs"], sw, reg_covar)
-    return GMMParams(
-        weights=out["pi"],
-        means=out["means"],
-        covariances=out["covs"],
-        lower_bound=final_lb,
-        n_iter=out["i"],
-    )
+    if n_init <= 1:
+        return single_fit(key)
+    fits = jax.vmap(single_fit)(jax.random.split(key, n_init))
+    best = jnp.argmax(jnp.nan_to_num(fits.lower_bound, nan=-jnp.inf))
+    return jax.tree_util.tree_map(lambda a: a[best], fits)
 
 
 def gmm_predict(params: GMMParams, X: jnp.ndarray, reg_covar: float = 1e-6) -> jnp.ndarray:
@@ -345,7 +360,7 @@ def cluster_predict_proba(model: ClusterModel, X: jnp.ndarray) -> jnp.ndarray:
     return jnp.exp(scores - norm).T  # (n, K)
 
 
-@partial(jax.jit, static_argnames=("k_max", "covariance_type"))
+@partial(jax.jit, static_argnames=("k_max", "covariance_type", "n_init"))
 def _split_round(
     key: jax.Array,
     Xw: jnp.ndarray,
@@ -356,6 +371,7 @@ def _split_round(
     threshold_modifier: float,
     k_max: int,
     covariance_type: str,
+    n_init: int = 1,
 ):
     """Evaluate the K=1 vs K=2 split candidate for EVERY leaf in one program.
 
@@ -380,8 +396,12 @@ def _split_round(
     thresholds = threshold_modifier * n_params * jnp.log(jnp.maximum(n_eff, 1.0))
 
     keys = jax.random.split(key, k_max)
-    p1 = jax.vmap(lambda k, w: gmm_fit(k, Xw, w, 1, covariance_type))(keys, leaf_w)
-    p2 = jax.vmap(lambda k, w: gmm_fit(k, Xw, w, 2, covariance_type))(keys, leaf_w)
+    p1 = jax.vmap(
+        lambda k, w: gmm_fit(k, Xw, w, 1, covariance_type, n_init=n_init)
+    )(keys, leaf_w)
+    p2 = jax.vmap(
+        lambda k, w: gmm_fit(k, Xw, w, 2, covariance_type, n_init=n_init)
+    )(keys, leaf_w)
     bic1 = jax.vmap(lambda p, m: gmm_bic(p, Xw, m, covariance_type))(p1, members)
     bic2 = jax.vmap(lambda p, m: gmm_bic(p, Xw, m, covariance_type))(p2, members)
     improvement = bic1 - bic2
@@ -405,7 +425,10 @@ def _split_round(
     }
 
 
-@partial(jax.jit, static_argnames=("k_max", "covariance_type", "max_rounds", "normalize"))
+@partial(
+    jax.jit,
+    static_argnames=("k_max", "covariance_type", "max_rounds", "normalize", "n_init"),
+)
 def hgm_fit(
     key: jax.Array,
     X: jnp.ndarray,
@@ -417,6 +440,7 @@ def hgm_fit(
     covariance_type: str,
     max_rounds: int,
     normalize: bool,
+    n_init: int = 1,
 ):
     """The ENTIRE hierarchical fit as one device program.
 
@@ -453,7 +477,7 @@ def hgm_fit(
     def body(c):
         out = _split_round(
             key, Xw, sw, c["labels"], c["n_leaves"], min_points,
-            threshold_modifier, k_max, covariance_type,
+            threshold_modifier, k_max, covariance_type, n_init,
         )
         any_elig = jnp.any(out["eligible"])
         leaf = jnp.argmax(out["improvement"]).astype(jnp.int32)
@@ -483,7 +507,7 @@ def hgm_fit(
     labels, n_leaves = state["labels"], state["n_leaves"]
 
     centers, covs, cweights = _final_refit(
-        key, Xw, sw, labels, k_max, covariance_type
+        key, Xw, sw, labels, k_max, covariance_type, n_init
     )
     k_mask = jnp.arange(k_max) < n_leaves
     if normalize:
@@ -507,7 +531,7 @@ def hgm_fit(
     return model, labels, n_leaves
 
 
-@partial(jax.jit, static_argnames=("k_max", "covariance_type"))
+@partial(jax.jit, static_argnames=("k_max", "covariance_type", "n_init"))
 def _final_refit(
     key: jax.Array,
     Xw: jnp.ndarray,
@@ -515,6 +539,7 @@ def _final_refit(
     labels: jnp.ndarray,
     k_max: int,
     covariance_type: str,
+    n_init: int = 1,
 ):
     """Per-leaf K=1 refits for centers/covariances, batched (cluster.py:527-556)."""
     n, d = Xw.shape
@@ -522,7 +547,9 @@ def _final_refit(
     members = labels[None, :] == leaf_ids[:, None]
     leaf_w = jnp.where(members, sample_weight[None, :], 0.0)
     keys = jax.random.split(key, k_max)
-    p = jax.vmap(lambda k, w: gmm_fit(k, Xw, w, 1, covariance_type))(keys, leaf_w)
+    p = jax.vmap(
+        lambda k, w: gmm_fit(k, Xw, w, 1, covariance_type, n_init=n_init)
+    )(keys, leaf_w)
     n_members = jnp.sum(members, axis=1)
 
     # Tiny leaves (< d members): plain mean + identity covariance
@@ -631,6 +658,7 @@ class HierarchicalGaussianMixture:
             self.covariance_type,
             min(self.max_iterations, self.k_max - 1),
             self.normalize,
+            self.n_init,
         )
         if self.verbose:
             print(f"HGM fit: {self.n_clusters_} leaves")

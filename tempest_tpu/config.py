@@ -56,6 +56,10 @@ class SamplerConfig:
     log_likelihood_kwargs: Optional[dict] = None
     vectorize: bool = False  # True: fns already accept (N, d) batches
     blobs_dtype: Optional[Any] = None  # dtype of auxiliary outputs, or None
+    # Flattened blob width. Optional for JAX likelihoods (shape-traced with
+    # no execution); declaring it for host likelihoods avoids the one real
+    # inference call at construction (utils/wrappers.infer_blob_size).
+    blob_size: Optional[int] = None
 
     # Boundary conditions (indices into [0, n_dim))
     periodic: Optional[List[int]] = None
@@ -140,66 +144,98 @@ class SamplerConfig:
             )
 
     def validate(self) -> None:
-        """Validate all parameters; raise ValueError listing every problem."""
-        errors = []
+        """Check every field; collect all problems and raise once.
 
-        if not callable(self.prior_transform):
-            errors.append("prior_transform must be callable")
-        if not callable(self.log_likelihood):
-            errors.append("log_likelihood must be callable")
-        if not isinstance(self.n_dim, int) or self.n_dim <= 0:
-            errors.append(f"n_dim must be positive int, got {self.n_dim}")
+        Same rules as the reference (config.py:98-185) expressed in our own
+        structure: a table of (predicate, message) pairs evaluated in one
+        pass, so a bad config reports every violation at once instead of
+        failing on the first.
+        """
+        problems: List[str] = []
 
-        if not isinstance(self.n_particles, int):
-            errors.append(f"n_particles must be int, got {type(self.n_particles)}")
-        elif self.n_particles <= 0:
-            errors.append(f"n_particles must be positive integer, got {self.n_particles}")
+        def need(ok: bool, msg: str) -> bool:
+            if not ok:
+                problems.append(msg)
+            return ok
 
-        if not isinstance(self.ess_ratio, (int, float)):
-            errors.append(f"ess_ratio must be numeric, got {type(self.ess_ratio)}")
-        elif self.ess_ratio <= 0:
-            errors.append(f"ess_ratio must be positive, got {self.ess_ratio}")
+        need(callable(self.prior_transform), "prior_transform is not callable")
+        need(callable(self.log_likelihood), "log_likelihood is not callable")
+        need(
+            isinstance(self.n_dim, int) and self.n_dim > 0,
+            f"n_dim should be a positive integer (got {self.n_dim!r})",
+        )
+
+        if need(
+            isinstance(self.n_particles, int),
+            f"n_particles should be an integer (got {type(self.n_particles).__name__})",
+        ):
+            need(
+                self.n_particles > 0,
+                f"n_particles should be > 0 (got {self.n_particles})",
+            )
+
+        if need(
+            isinstance(self.ess_ratio, (int, float)),
+            f"ess_ratio should be a number (got {type(self.ess_ratio).__name__})",
+        ):
+            need(self.ess_ratio > 0, f"ess_ratio should be > 0 (got {self.ess_ratio})")
 
         if self.volume_variation is not None:
-            if not isinstance(self.volume_variation, (int, float)):
-                errors.append(
-                    f"volume_variation must be numeric or None, got {type(self.volume_variation)}"
+            if need(
+                isinstance(self.volume_variation, (int, float)),
+                "volume_variation should be a number or None "
+                f"(got {type(self.volume_variation).__name__})",
+            ):
+                need(
+                    self.volume_variation > 0,
+                    f"volume_variation should be > 0 (got {self.volume_variation})",
                 )
-            elif self.volume_variation <= 0:
-                errors.append(f"volume_variation ({self.volume_variation}) must be positive")
 
-        if self.sample not in ("tpcn", "rwm"):
-            errors.append(f"Invalid sampler '{self.sample}': must be 'tpcn' or 'rwm'")
-
-        if self.resample not in ("mult", "syst"):
-            errors.append(f"Invalid resample '{self.resample}': must be 'mult' or 'syst'")
-
-        if self.vectorize and self.blobs_dtype is not None:
-            errors.append("Cannot vectorize likelihood with blobs")
+        need(
+            self.sample in ("tpcn", "rwm"),
+            f"unknown sample kernel {self.sample!r} — choose 'tpcn' or 'rwm'",
+        )
+        need(
+            self.resample in ("mult", "syst"),
+            f"unknown resample scheme {self.resample!r} — choose 'mult' or 'syst'",
+        )
+        need(
+            not (self.vectorize and self.blobs_dtype is not None),
+            "blobs require per-particle likelihood calls; drop vectorize=True "
+            "or blobs_dtype",
+        )
 
         if self.periodic is not None and self.reflective is not None:
-            overlap = set(self.periodic).intersection(set(self.reflective))
-            if overlap:
-                errors.append(f"Parameters cannot be both periodic and reflective: {overlap}")
-
-        for name, lst in (("periodic", self.periodic), ("reflective", self.reflective)):
-            if lst is not None and not all(
-                isinstance(i, int) and 0 <= i < self.n_dim for i in lst
-            ):
-                errors.append(
-                    f"{name} indices must be integers in [0, {self.n_dim - 1}], got {lst}"
-                )
-
-        if not isinstance(self.output_dir, Path):
-            errors.append(f"output_dir must be Path, got {type(self.output_dir)}")
-        if self.output_label is not None and not isinstance(self.output_label, str):
-            errors.append(f"output_label must be str or None, got {type(self.output_label)}")
-
-        if errors:
-            raise ValueError(
-                "Configuration validation failed:\n"
-                + "\n".join(f"  - {err}" for err in errors)
+            shared = sorted(set(self.periodic) & set(self.reflective))
+            need(
+                not shared,
+                f"dimensions {shared} appear as both periodic and reflective — "
+                "each index may use at most one boundary type",
             )
+
+        for kind in ("periodic", "reflective"):
+            idx = getattr(self, kind)
+            if idx is None:
+                continue
+            bad = [i for i in idx if not (isinstance(i, int) and 0 <= i < self.n_dim)]
+            need(
+                not bad,
+                f"{kind} contains out-of-range or non-integer entries {bad}; "
+                f"valid dimension indices are 0..{self.n_dim - 1}",
+            )
+
+        need(
+            isinstance(self.output_dir, Path),
+            f"output_dir should be a Path (got {type(self.output_dir).__name__})",
+        )
+        need(
+            self.output_label is None or isinstance(self.output_label, str),
+            f"output_label should be a string (got {type(self.output_label).__name__})",
+        )
+
+        if problems:
+            listing = "\n".join(f"  * {p}" for p in problems)
+            raise ValueError(f"Invalid SamplerConfig ({len(problems)} problem(s)):\n{listing}")
 
     def get_target_metric(self) -> float:
         """Target metric: CV in dynamic mode, else ess_ratio * n_particles."""

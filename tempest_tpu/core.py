@@ -69,7 +69,13 @@ class SamplerCore:
             cfg.log_likelihood, cfg.log_likelihood_args, cfg.log_likelihood_kwargs
         )
         self.blob_size = infer_blob_size(
-            wrapped, cfg.n_dim, self.have_blobs, cfg.host_likelihood, cfg.blobs_dtype
+            wrapped,
+            cfg.n_dim,
+            self.have_blobs,
+            cfg.host_likelihood,
+            cfg.blobs_dtype,
+            declared_size=cfg.blob_size,
+            prior_transform=cfg.prior_transform,
         )
         self._prior_batch = build_prior_transform(cfg.prior_transform, cfg.vectorize)
         self._loglike_batch = build_log_likelihood(
@@ -242,7 +248,7 @@ class SamplerCore:
             self.pbar.update_stats(
                 dict(
                     beta=float(self.cur.beta),
-                    calls=int(self.cur.calls),
+                    calls=self.calls_total(),
                     ESS=int(self.config.ess_ratio * self.n_particles),
                     logZ=float(self.cur.logz),
                     logL=0.0, acc=0.0, steps=0, eff=0.0, K=1,
@@ -400,7 +406,7 @@ class SamplerCore:
                 efficiency=res.efficiency.astype(self.dtype),
                 acceptance=res.acceptance.astype(self.dtype),
                 steps=res.steps,
-                calls=self.cur.calls + res.n_calls,
+                calls=self.cur.calls + res.n_call_sweeps,
             )
             if self.pbar is not None and self.pbar.enabled:
                 self.pbar.update_stats(dict(K=int(mode_stats.n_modes())))
@@ -417,7 +423,7 @@ class SamplerCore:
             u=wr.u, x=wr.x, logl=wr.logl, blobs=wr.blobs,
             assignments=jnp.zeros((self.n_particles,), jnp.int32),
             logz=self.cur.logz + wr.logz_correction,
-            calls=self.cur.calls + self.n_particles,
+            calls=self.cur.calls + 1,  # one full-batch sweep
             steps=jnp.asarray(1, jnp.int32),
             acceptance=jnp.asarray(1.0, self.dtype),
             efficiency=jnp.asarray(1.0, self.dtype),
@@ -498,7 +504,9 @@ class SamplerCore:
             "acceptance": np.asarray(self.hist.acceptance[:t]),
             "efficiency": np.asarray(self.hist.efficiency[:t]),
             "steps": np.asarray(self.hist.steps[:t]),
-            "calls": np.asarray(self.hist.calls[:t]),
+            # Device counters are in sweep units; expose raw call counts
+            # (sweeps * N) in int64 so long runs never wrap.
+            "calls": np.asarray(self.hist.calls[:t], dtype=np.int64) * self.n_particles,
             "iter": np.arange(1, t + 1),
         }
         if self.hist.blobs is not None:
@@ -539,16 +547,26 @@ class SamplerCore:
             "acceptance": float(c.acceptance),
             "efficiency": float(c.efficiency),
             "steps": int(c.steps),
-            "calls": int(c.calls),
+            "calls": self.calls_total(),
             "iter": int(c.iteration),
         }
+
+    def calls_total(self) -> int:
+        """Cumulative raw likelihood calls as an exact Python integer.
+
+        The device counter (Current.calls) is kept in sweep units — one
+        sweep = one batched evaluation of all n_particles — so the int32
+        buffer cannot overflow on long runs; the multiplication happens
+        here in arbitrary-precision Python arithmetic.
+        """
+        return int(self.cur.calls) * self.n_particles
 
     def _update_progress_bar(self):
         if self.pbar is None or not self.pbar.enabled:
             return
         c = self.cur
         stats = dict(
-            calls=int(c.calls),
+            calls=self.calls_total(),
             beta=float(c.beta),
             ESS=int(float(c.ess)),
             logZ=float(c.logz),

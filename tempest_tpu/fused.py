@@ -123,7 +123,7 @@ def _make_iteration_fn(
             efficiency=res.efficiency.astype(cfg.dtype),
             acceptance=res.acceptance.astype(cfg.dtype),
             steps=res.steps,
-            calls=cur.calls + res.n_calls,
+            calls=cur.calls + res.n_call_sweeps,
         )
 
     def _warmup_branch(args):
@@ -133,7 +133,7 @@ def _make_iteration_fn(
             u=wr.u, x=wr.x, logl=wr.logl, blobs=wr.blobs,
             assignments=jnp.zeros((cfg.n_particles,), jnp.int32),
             logz=cur.logz + wr.logz_correction,
-            calls=cur.calls + cfg.n_particles,
+            calls=cur.calls + 1,  # one full-batch sweep
             steps=jnp.asarray(1, jnp.int32),
             acceptance=jnp.asarray(1.0, cfg.dtype),
             efficiency=jnp.asarray(1.0, cfg.dtype),

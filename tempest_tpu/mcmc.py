@@ -48,7 +48,13 @@ class MCMCResult(NamedTuple):
     efficiency: jnp.ndarray
     acceptance: jnp.ndarray
     steps: jnp.ndarray
-    n_calls: jnp.ndarray
+    # Likelihood calls in SWEEP units: one sweep = one batched evaluation of
+    # all n_walkers particles, so raw calls = n_call_sweeps * n_walkers.
+    # Counting sweeps keeps the int32 device counter overflow-safe: raw call
+    # counts pass 2^31 within ~30 min of TPU time at bench throughput, sweep
+    # counts never realistically do (state.py stores the cumulative sweep
+    # count; hosts convert with Python integers).
+    n_call_sweeps: jnp.ndarray
 
 
 def _masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -175,7 +181,6 @@ def make_mcmc_kernel(
             x_prime = prior_transform_batch(u_prime)
             logl_prime, blobs_prime = log_likelihood_batch(x_prime)
             logl_prime = logl_prime.astype(dtype)
-            n_calls = carry["n_calls"] + n_walkers
 
             if is_tpcn:
                 # Student-t log-density ratio (mcmc.py:251-279)
@@ -233,7 +238,6 @@ def make_mcmc_kernel(
                 "blobs": blobs,
                 "sigmas": sigmas,
                 "iteration": iteration,
-                "n_calls": n_calls,
                 "alpha_mean": jnp.mean(alpha),
                 "done": done,
             }
@@ -246,7 +250,6 @@ def make_mcmc_kernel(
             "blobs": blobs,
             "sigmas": sigmas0,
             "iteration": jnp.asarray(0, jnp.int32),
-            "n_calls": jnp.asarray(0, jnp.int32),
             "alpha_mean": jnp.asarray(0.0, dtype),
             "done": jnp.asarray(False),
         }
@@ -261,7 +264,9 @@ def make_mcmc_kernel(
             efficiency=efficiency,
             acceptance=out["alpha_mean"],
             steps=out["iteration"],
-            n_calls=out["n_calls"],
+            # Every loop step evaluates the likelihood on the full walker
+            # batch exactly once, so sweeps == steps.
+            n_call_sweeps=out["iteration"],
         )
 
     return jax.jit(run)

@@ -57,6 +57,7 @@ class Sampler:
         mesh=None,
         k_max: Optional[int] = None,
         history_capacity: Optional[int] = None,
+        blob_size: Optional[int] = None,
     ):
         import jax.numpy as jnp
 
@@ -67,6 +68,8 @@ class Sampler:
             extra["k_max"] = k_max
         if history_capacity is not None:
             extra["history_capacity"] = history_capacity
+        if blob_size is not None:
+            extra["blob_size"] = blob_size
 
         config = SamplerConfig(
             prior_transform=prior_transform,
@@ -294,7 +297,7 @@ class Sampler:
 
     @property
     def calls(self) -> int:
-        return int(self._core.cur.calls)
+        return self._core.calls_total()
 
     @property
     def state(self):

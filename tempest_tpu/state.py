@@ -49,7 +49,13 @@ class History:
     acceptance: jnp.ndarray  # (T_max,)
     efficiency: jnp.ndarray  # (T_max,)
     steps: jnp.ndarray  # (T_max,) int32
-    calls: jnp.ndarray  # (T_max,) int64-ish (int32) cumulative likelihood calls
+    # Cumulative likelihood calls in SWEEP units (1 sweep = n_particles
+    # calls; every call site — warm-up draw or MCMC step — evaluates the
+    # full particle batch, so the raw count is always a multiple of N).
+    # int32 sweeps never realistically overflow, whereas raw int32 call
+    # counts pass 2^31 within ~30 min of TPU bench throughput. Hosts
+    # convert to raw calls with Python integers (core.calls_total()).
+    calls: jnp.ndarray  # (T_max,) int32 cumulative likelihood-call SWEEPS
     t: jnp.ndarray  # () int32 — number of committed iterations
 
     # ------------------------------------------------------------------
@@ -162,7 +168,7 @@ class Current:
     acceptance: jnp.ndarray
     efficiency: jnp.ndarray
     steps: jnp.ndarray  # () int32
-    calls: jnp.ndarray  # () int32
+    calls: jnp.ndarray  # () int32 cumulative likelihood-call SWEEPS (see History.calls)
     iteration: jnp.ndarray  # () int32
 
 

@@ -58,6 +58,9 @@ def save_checkpoint(
         "format_version": _FORMAT_VERSION,
         "meta": meta or {},
         "has_blobs": hist.blobs is not None,
+        # Call counters are stored in sweep units (1 sweep = n_particles
+        # likelihood calls); absent in files from before the overflow fix.
+        "calls_units": "sweeps",
     }
 
     with open(tmp, "wb") as f:
@@ -117,5 +120,10 @@ def load_checkpoint(
                     mis_c=jnp.full(hist.logl.shape, -jnp.inf, dtype=hist.logl.dtype)
                 )
             )
+        if payload.get("calls_units") != "sweeps":
+            # Legacy file with raw call counts: convert to sweep units.
+            n = cur.u.shape[0]
+            hist = hist.replace(calls=hist.calls // n)
+            cur = cur.replace(calls=cur.calls // n)
         key = jnp.asarray(data["rng_key"])  # legacy uint32 key format
         return hist, cur, key, payload["meta"]

@@ -152,13 +152,35 @@ def infer_blob_size(
     have_blobs: bool,
     host_likelihood: bool,
     blobs_dtype=None,
+    declared_size: Optional[int] = None,
+    prior_transform: Optional[Callable] = None,
 ) -> Optional[int]:
-    """Determine the flattened blob width B without running device code."""
+    """Determine the flattened blob width B.
+
+    JAX likelihoods are probed with `jax.eval_shape` (abstract tracing — no
+    likelihood executes). Host likelihoods cannot be shape-traced, so pass
+    `blob_size=` in the config to keep the reference's "no likelihood calls
+    at construction" contract (SURVEY §3.1); without it we fall back to one
+    real host evaluation at the prior midpoint and warn.
+    """
     if not have_blobs:
         return None
+    if declared_size is not None:
+        return int(declared_size)
     if host_likelihood:
-        # Evaluate once on the host with a midpoint draw.
-        out = log_likelihood(np.full(n_dim, 0.5))
+        import warnings
+
+        warnings.warn(
+            "host_likelihood=True with blobs and no blob_size: inferring the "
+            "blob width requires ONE likelihood evaluation at construction "
+            "(at the prior midpoint). Pass blob_size=<int> to avoid it for "
+            "expensive or stateful likelihoods.",
+            UserWarning,
+            stacklevel=3,
+        )
+        mid = np.full(n_dim, 0.5)
+        x_mid = np.asarray(prior_transform(mid)) if prior_transform is not None else mid
+        out = log_likelihood(x_mid)
         return int(np.atleast_1d(out[1]).size)
     shape = jax.eval_shape(log_likelihood, jax.ShapeDtypeStruct((n_dim,), jnp.float32))
     blob = shape[1]

@@ -151,3 +151,25 @@ class TestHGM:
         hgm = HierarchicalGaussianMixture(k_max=2)
         hgm.fit(X)
         assert hgm.n_clusters_ <= 2
+
+
+class TestNInitRestarts:
+    def test_best_of_n_lower_bound_not_worse(self):
+        # Best-of-n restarts must never return a worse weighted lower bound
+        # than a single run with the same key (reference cluster.py:97-131).
+        X = jnp.asarray(two_blobs(seed=3))
+        w = jnp.ones(400)
+        key = jax.random.PRNGKey(5)
+        single = gmm_fit(key, X, w, 2)
+        multi = gmm_fit(key, X, w, 2, n_init=5)
+        assert float(multi.lower_bound) >= float(single.lower_bound) - 1e-6
+
+    def test_n_init_plumbed_through_hgm(self):
+        # The class-level n_init parameter must actually reach the EM fits
+        # (round-1 review: it was stored and ignored).
+        X = two_blobs(seed=4)
+        h = HierarchicalGaussianMixture(n_init=3, k_max=4)
+        h.fit(X)
+        assert h.n_clusters_ == 2
+        labels = h.predict(X)
+        assert len(np.unique(labels)) == 2

@@ -118,7 +118,8 @@ class TestMCMCKernels:
             jax.random.PRNGKey(2), u, x, logl, None, assign,
             jnp.asarray(0.5, jnp.float32), modes,
         )
-        assert int(res.n_calls) == int(res.steps) * u.shape[0]
+        # Device counters are in sweep units: one sweep per adaptive step.
+        assert int(res.n_call_sweeps) == int(res.steps)
 
     def test_steps_bounded(self):
         kernel, modes, u, x, logl, assign = _make_kernel_and_state("tpcn")
