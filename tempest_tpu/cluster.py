@@ -291,8 +291,15 @@ class ClusterModel:
         return jnp.sum(self.k_mask)
 
 
-def single_cluster_model(n_dim: int, k_max: int, dtype=jnp.float32) -> ClusterModel:
-    """Trivial one-cluster model (clustering disabled)."""
+def single_cluster_model(
+    n_dim: int, k_max: int, dtype=jnp.float32, normalize: bool = False
+) -> ClusterModel:
+    """Trivial one-cluster model (clustering disabled / not yet fitted).
+
+    `normalize` is static pytree metadata on ClusterModel; a placeholder
+    carried through `lax.cond` against a fitted model must be built with
+    the same flag or the branch pytrees mismatch.
+    """
     return ClusterModel(
         centers=jnp.zeros((k_max, n_dim), dtype=dtype),
         covariances=jnp.broadcast_to(
@@ -302,7 +309,7 @@ def single_cluster_model(n_dim: int, k_max: int, dtype=jnp.float32) -> ClusterMo
         k_mask=jnp.arange(k_max) < 1,
         data_min=jnp.zeros((n_dim,), dtype=dtype),
         data_max=jnp.ones((n_dim,), dtype=dtype),
-        normalize=False,
+        normalize=normalize,
     )
 
 

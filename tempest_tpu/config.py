@@ -100,6 +100,10 @@ class SamplerConfig:
     history_capacity: int = DEFAULT_HISTORY_CAPACITY
     k_max: int = DEFAULT_K_MAX  # padded cluster-count cap for fixed shapes
     donate_state: bool = True  # donate buffers to jitted steps
+    # False disables the fused single-dispatch iteration in favor of the
+    # per-stage host loop (one device program per pipeline stage) — slower,
+    # but each stage is separately profileable/debuggable.
+    fused: bool = True
 
     def __post_init__(self) -> None:
         if not isinstance(self.n_dim, int):

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .cluster import single_cluster_model
 from .config import DOF_FALLBACK, SamplerConfig
 from .mcmc import make_mcmc_kernel
 from .modes import identity_mode_statistics
@@ -37,6 +38,7 @@ from .steps.resample import resample as resample_step
 from .steps.reweight import reweight as reweight_step
 from .steps.train import Trainer
 from .utils.checkpoint import load_checkpoint, save_checkpoint
+from .utils.host import fetch
 from .utils.profiling import annotate
 from .utils.progress import ProgressBar
 from .utils.wrappers import (
@@ -123,11 +125,16 @@ class SamplerCore:
 
         # Fused fast path: the entire iteration (reweight + clustering +
         # train + resample + mutate + commit) fuses into ONE jitted program
-        # — a single device dispatch per PS iteration (see fused.py). Only
-        # cluster_every > 1 needs the host loop (the refit cadence carries
-        # the fitted model between iterations).
+        # — a single device dispatch per PS iteration (see fused.py). The
+        # cluster_every > 1 refit cadence is handled by carrying the fitted
+        # model (+ validity flag) through the program. cfg.fused=False keeps
+        # the per-stage host loop (debug/profiling escape hatch).
         self._fused_iter = None
-        if not cfg.clustering or cfg.cluster_every == 1:
+        self._fused_model = single_cluster_model(
+            cfg.n_dim, k_max, cfg.dtype, normalize=cfg.clustering and cfg.normalize
+        )
+        self._fused_fitted = jnp.asarray(False)
+        if cfg.fused:
             from .fused import make_fused_iteration
 
             self._fused_iter = make_fused_iteration(
@@ -191,6 +198,11 @@ class SamplerCore:
         self.n_total = None
         self.logz_err = None
         self.t0 = 0
+        self._fused_model = single_cluster_model(
+            cfg.n_dim, self.k_max, cfg.dtype,
+            normalize=cfg.clustering and cfg.normalize,
+        )
+        self._fused_fitted = jnp.asarray(False)
         self._apply_sharding()
 
     def _apply_sharding(self) -> None:
@@ -284,9 +296,20 @@ class SamplerCore:
         runner = self._fused_run
 
         while True:
-            self.hist, self.cur = runner(
-                self._next_key(), self.hist, self.cur, jnp.asarray(n_total, jnp.int32)
+            (
+                self.hist,
+                self.cur,
+                self._fused_model,
+                self._fused_fitted,
+            ) = runner(
+                self._next_key(),
+                self.hist,
+                self.cur,
+                jnp.asarray(n_total, jnp.int32),
+                self._fused_model,
+                self._fused_fitted,
             )
+            self.trainer._model = self._fused_model
             if self.pbar is not None:
                 if self.pbar.progress_bar is not None:
                     self.pbar.progress_bar.update(
@@ -325,10 +348,23 @@ class SamplerCore:
         cfg = self.config
 
         if self._fused_iter is not None and int(self.hist.t) > 0:
-            # Single-dispatch fused iteration (clustering off)
+            # Single-dispatch fused iteration (cluster model carried)
             if self.pbar is not None:
                 self.pbar.update_iter()
-            self.hist, self.cur = self._fused_iter(self._next_key(), self.hist, self.cur)
+            (
+                self.hist,
+                self.cur,
+                self._fused_model,
+                self._fused_fitted,
+            ) = self._fused_iter(
+                self._next_key(),
+                self.hist,
+                self.cur,
+                self._fused_model,
+                self._fused_fitted,
+            )
+            # Keep the trainer's view consistent for diagnostics (K, etc.).
+            self.trainer._model = self._fused_model
             self._update_progress_bar()
             return self.get_current_dict()
 
@@ -439,17 +475,22 @@ class SamplerCore:
         ess_trim: float = 0.99,
         bins_trim: int = 1000,
     ):
-        """Posterior extraction. Parity: core.py:187-242."""
-        logw, _ = compute_logw_and_logz(self.hist, 1.0)
-        valid = np.asarray(self.hist.sample_mask())
-        logw_np = np.asarray(logw)
+        """Posterior extraction. Parity: core.py:187-242.
 
-        x = np.asarray(self.hist.flat_x())
-        u = np.asarray(self.hist.flat_u())
-        logl = np.asarray(self.hist.flat_logl())
+        Host-side numpy on gathered arrays (fetch is multi-host safe): the
+        extraction runs once per analysis, not per iteration, so its cost
+        does not sit on the hot path.
+        """
+        logw, _ = compute_logw_and_logz(self.hist, 1.0)
+        valid = fetch(self.hist.sample_mask())
+        logw_np = fetch(logw)
+
+        x = fetch(self.hist.flat_x())
+        u = fetch(self.hist.flat_u())
+        logl = fetch(self.hist.flat_logl())
         blobs = None
         if self.hist.blobs is not None:
-            blobs = np.asarray(self.hist.flat_blobs())
+            blobs = fetch(self.hist.flat_blobs())
 
         weights = np.exp(logw_np - np.max(logw_np[valid]))
         weights[~valid] = 0.0
@@ -494,9 +535,9 @@ class SamplerCore:
         """Full per-iteration history. Parity: state_manager.py:482-503."""
         t = int(self.hist.t)
         out = {
-            "u": np.asarray(self.hist.u[:t]),
-            "x": np.asarray(self.hist.x[:t]),
-            "logl": np.asarray(self.hist.logl[:t]),
+            "u": fetch(self.hist.u[:t]),
+            "x": fetch(self.hist.x[:t]),
+            "logl": fetch(self.hist.logl[:t]),
             "beta": np.asarray(self.hist.beta[:t]),
             "logz": np.asarray(self.hist.logz[:t]),
             "ess": np.asarray(self.hist.ess[:t]),
@@ -510,9 +551,9 @@ class SamplerCore:
             "iter": np.arange(1, t + 1),
         }
         if self.hist.blobs is not None:
-            out["blobs"] = np.asarray(self.hist.blobs[:t])
+            out["blobs"] = fetch(self.hist.blobs[:t])
         logw, _ = compute_logw_and_logz(self.hist, 1.0)
-        out["logw"] = np.asarray(logw)[np.asarray(self.hist.sample_mask())]
+        out["logw"] = fetch(logw)[fetch(self.hist.sample_mask())]
         return out
 
     # ------------------------------------------------------------------
@@ -535,11 +576,11 @@ class SamplerCore:
     def get_current_dict(self) -> dict:
         c = self.cur
         return {
-            "u": np.asarray(c.u),
-            "x": np.asarray(c.x),
-            "logl": np.asarray(c.logl),
-            "blobs": None if c.blobs is None else np.asarray(c.blobs),
-            "assignments": np.asarray(c.assignments),
+            "u": fetch(c.u),
+            "x": fetch(c.x),
+            "logl": fetch(c.logl),
+            "blobs": None if c.blobs is None else fetch(c.blobs),
+            "assignments": fetch(c.assignments),
             "beta": float(c.beta),
             "logz": float(c.logz),
             "ess": float(c.ess),

@@ -9,9 +9,11 @@ multi-chip SPMD path: with the history/current buffers sharded over a
 `particles` mesh axis, XLA inserts the psum / all-gather collectives for
 the weight reductions and resampling gathers.
 
-(Clustering with `cluster_every > 1` keeps the host loop — the refit
-cadence needs the fitted model carried between iterations; see
-steps/train.py.)
+`cluster_every > 1` is handled by carrying the fitted ClusterModel (plus a
+validity flag) through the iteration signature: the refit runs under a
+`lax.cond` on the cadence, so off-cadence iterations skip the whole
+hierarchical-GMM program and reuse the carried model — the same reuse the
+host Trainer implements (steps/train.py), with zero host round-trips.
 """
 
 from __future__ import annotations
@@ -78,24 +80,39 @@ def _make_iteration_fn(
     )
 
     def _mutate_branch(args):
-        key, hist, cur, weights = args
+        key, hist, cur, weights, model, fitted = args
         k_train, k_res, k_mut = jax.random.split(key, 3)
         keep_mask, w_trim = trim_weights_mask(
             weights, mask=hist.sample_mask(), ess=TRIM_ESS, bins=TRIM_BINS
         )
         if clustered:
-            cluster_model, _, _ = hgm_fit(
-                jax.random.PRNGKey(42),
-                hist.flat_u(),
-                w_trim,
-                keep_mask,
-                jnp.asarray(hgm_min_points, jnp.int32),
-                jnp.asarray(cfg.split_threshold, cfg.dtype),
-                k_max,
-                "full",
-                hgm_max_rounds,
-                cfg.normalize,
-            )
+            def do_fit(_):
+                m, _, _ = hgm_fit(
+                    jax.random.PRNGKey(42),
+                    hist.flat_u(),
+                    w_trim,
+                    keep_mask,
+                    jnp.asarray(hgm_min_points, jnp.int32),
+                    jnp.asarray(cfg.split_threshold, cfg.dtype),
+                    k_max,
+                    "full",
+                    hgm_max_rounds,
+                    cfg.normalize,
+                )
+                return m
+
+            if cfg.cluster_every == 1:
+                cluster_model = do_fit(None)
+            else:
+                # Refit on the cadence, or when the carried model is still
+                # the initial placeholder — the same rule the host Trainer
+                # applies (steps/train.py run(); reference train.py:97-115).
+                refit = (~fitted) | (
+                    jnp.mod(cur.iteration, cfg.cluster_every) == 0
+                )
+                cluster_model = jax.lax.cond(
+                    refit, do_fit, lambda _: model, None
+                )
             labels = cluster_predict(cluster_model, hist.flat_u())
             modes = fit_mode_statistics(
                 k_train,
@@ -117,7 +134,7 @@ def _make_iteration_fn(
             method=cfg.resample, clustering=clustered,
         )
         res = mcmc(k_mut, u, x, logl, blobs, assignments, cur.beta, modes)
-        return cur.replace(
+        new_cur = cur.replace(
             u=res.u, x=res.x, logl=res.logl, blobs=res.blobs,
             assignments=assignments,
             efficiency=res.efficiency.astype(cfg.dtype),
@@ -125,11 +142,12 @@ def _make_iteration_fn(
             steps=res.steps,
             calls=cur.calls + res.n_call_sweeps,
         )
+        return new_cur, cluster_model, jnp.asarray(True)
 
     def _warmup_branch(args):
-        key, hist, cur, _weights = args
+        key, hist, cur, _weights, model, fitted = args
         wr = warmup(key)
-        return cur.replace(
+        new_cur = cur.replace(
             u=wr.u, x=wr.x, logl=wr.logl, blobs=wr.blobs,
             assignments=jnp.zeros((cfg.n_particles,), jnp.int32),
             logz=cur.logz + wr.logz_correction,
@@ -138,8 +156,11 @@ def _make_iteration_fn(
             acceptance=jnp.asarray(1.0, cfg.dtype),
             efficiency=jnp.asarray(1.0, cfg.dtype),
         )
+        return new_cur, model, fitted
 
-    def iteration(key: jax.Array, hist: History, cur: Current) -> Tuple[History, Current]:
+    def iteration(
+        key: jax.Array, hist: History, cur: Current, model, fitted
+    ):
         # --- reweight -----------------------------------------------------
         # t == 0 (nothing committed yet): no reweighting is possible — the
         # reweight outputs are overridden with the first-iteration values
@@ -169,15 +190,38 @@ def _make_iteration_fn(
         # train/resample/MCMC (train.py:79-88, resample.py:68-72,
         # mutate.py:99-149). Otherwise the full mutate pipeline, reusing
         # the MIS weights the reweighter just computed.
-        cur = jax.lax.cond(
+        cur, model, fitted = jax.lax.cond(
             cur.beta == 0.0, _warmup_branch, _mutate_branch,
-            (key, hist, cur, rw.weights),
+            (key, hist, cur, rw.weights, model, fitted),
         )
 
         hist = commit(hist, cur)
-        return hist, cur
+        return hist, cur, model, fitted
 
     return iteration
+
+
+def _state_out_shardings(config: SamplerConfig):
+    """(hist, cur, model, fitted) output shardings for the fused programs.
+
+    Without the explicit constraint the SPMD partitioner may decide to
+    replicate the (small) outputs, silently dropping the particle-axis
+    sharding for the next iteration's inputs. Returns None when no mesh is
+    configured.
+    """
+    if config.mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel.mesh import current_sharding, history_sharding
+
+    h_sh = history_sharding(config.mesh, config.particle_axis)
+    c_sh = current_sharding(config.mesh, config.particle_axis)
+    if config.blobs_dtype is None:
+        h_sh = h_sh.replace(blobs=None)
+        c_sh = c_sh.replace(blobs=None)
+    rep = NamedSharding(config.mesh, P())
+    return h_sh, c_sh, rep, rep
 
 
 def make_fused_iteration(
@@ -185,8 +229,17 @@ def make_fused_iteration(
     log_likelihood_batch: Callable,
     prior_transform_batch: Callable,
 ) -> Callable:
-    """Jitted single PS iteration: (key, hist, cur) -> (hist, cur)."""
-    return jax.jit(_make_iteration_fn(config, log_likelihood_batch, prior_transform_batch))
+    """Jitted single PS iteration:
+    (key, hist, cur, model, fitted) -> (hist, cur, model, fitted).
+
+    `model` is the carried ClusterModel (reused between refits when
+    cluster_every > 1); `fitted` marks whether it holds a real fit yet.
+    """
+    fn = _make_iteration_fn(config, log_likelihood_batch, prior_transform_batch)
+    out_sh = _state_out_shardings(config)
+    if out_sh is None:
+        return jax.jit(fn)
+    return jax.jit(fn, out_shardings=out_sh)
 
 
 def make_fused_run(
@@ -211,14 +264,11 @@ def make_fused_run(
     iteration = _make_iteration_fn(config, log_likelihood_batch, prior_transform_batch)
     from .ops.tools import ess_from_logw
 
-    @jax.jit
-    def run(
-        key: jax.Array, hist: History, cur: Current, n_total
-    ) -> Tuple[History, Current]:
+    def run(key: jax.Array, hist: History, cur: Current, n_total, model, fitted):
         capacity = hist.capacity
 
         def cond(c):
-            _, hist, cur = c
+            _, hist, cur, _, _ = c
 
             def ess_below_target(h):
                 # O(T_max*N) posterior-ESS check — only needed once beta has
@@ -235,17 +285,22 @@ def make_fused_run(
             return not_term & (hist.t < capacity)
 
         def body(c):
-            key, hist, cur = c
+            key, hist, cur, model, fitted = c
             key, k = jax.random.split(key)
-            hist, cur = iteration(k, hist, cur)
-            return key, hist, cur
+            hist, cur, model, fitted = iteration(k, hist, cur, model, fitted)
+            return key, hist, cur, model, fitted
 
-        key, hist, cur = jax.lax.while_loop(cond, body, (key, hist, cur))
+        key, hist, cur, model, fitted = jax.lax.while_loop(
+            cond, body, (key, hist, cur, model, fitted)
+        )
 
         # Final evidence at beta=1 over the full history (core.py:148-151)
         _, logz = compute_logw_and_logz(hist, 1.0)
         cur = cur.replace(logz=logz.astype(cfg.dtype))
-        return hist, cur
+        return hist, cur, model, fitted
 
     cfg = config
-    return run
+    out_sh = _state_out_shardings(config)
+    if out_sh is None:
+        return jax.jit(run)
+    return jax.jit(run, out_shardings=out_sh)

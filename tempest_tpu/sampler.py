@@ -183,10 +183,7 @@ class Sampler:
         # its pool): neither is picklable in general.
         config = dataclasses.replace(core.config, mesh=None, pool=None)
 
-        def to_host(tree):
-            import jax
-
-            return jax.tree_util.tree_map(np.asarray, tree)
+        from .utils.host import fetch_tree as to_host
 
         import jax
 

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..state import Current, History
+from .host import fetch, is_primary, sync
 
 _FORMAT_VERSION = 1
 
@@ -30,7 +31,9 @@ def _flatten_with_paths(tree, prefix):
     leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
     for path, leaf in leaves:
         name = prefix + "/".join(str(getattr(p, "name", getattr(p, "idx", p))) for p in path)
-        out[name] = np.asarray(leaf)
+        # `fetch` gathers shards that span processes (multi-host safe);
+        # plain np.asarray would raise on non-addressable arrays.
+        out[name] = fetch(leaf)
     return out
 
 
@@ -41,9 +44,14 @@ def save_checkpoint(
     key: jax.Array,
     meta: Optional[dict] = None,
 ) -> None:
-    """Atomically write the full sampler state."""
+    """Atomically write the full sampler state.
+
+    Multi-process safe: every process participates in the shard gathers
+    (collectives), the primary process alone writes the file, and a global
+    barrier orders the write before anyone proceeds. Resume expects the
+    file to be readable by each process (shared filesystem or local copy).
+    """
     path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(path.suffix + ".temp")
 
     arrays = {}
@@ -53,6 +61,11 @@ def save_checkpoint(
         arrays["rng_key"] = np.asarray(jax.random.key_data(key))
     else:  # legacy uint32 key
         arrays["rng_key"] = np.asarray(key)
+
+    if not is_primary():
+        sync("tempest_checkpoint")
+        return
+    path.parent.mkdir(parents=True, exist_ok=True)
 
     payload = {
         "format_version": _FORMAT_VERSION,
@@ -68,6 +81,7 @@ def save_checkpoint(
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)
+    sync("tempest_checkpoint")
 
 
 def load_checkpoint(

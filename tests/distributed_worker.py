@@ -1,0 +1,114 @@
+"""Worker process for the 2-process jax.distributed test.
+
+Spawned by tests/test_distributed.py: joins a 2-process CPU "cluster"
+(4 virtual devices each, 8 global), runs a clustered sharded annealing to
+beta=1 through the public API, checkpoints, resumes, and prints one JSON
+line for the parent to assert on.
+
+Usage: distributed_worker.py <process_id> <coordinator_port> <workdir>
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tempest_tpu import Sampler
+from tempest_tpu.parallel.distributed import global_mesh, initialize, is_primary
+
+N_DIM = 4
+ANALYTIC_LOGZ = -N_DIM * float(np.log(20.0))
+
+
+def prior_transform(u):
+    return 20.0 * u - 10.0
+
+
+def log_likelihood(x):
+    return -0.5 * jnp.sum(x * x, axis=-1) - 0.5 * N_DIM * jnp.log(2 * jnp.pi)
+
+
+def main():
+    process_id = int(sys.argv[1])
+    port = int(sys.argv[2])
+    workdir = Path(sys.argv[3])
+
+    initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=2,
+        process_id=process_id,
+    )
+    assert jax.process_count() == 2
+    assert jax.device_count() == 8
+    assert is_primary() == (process_id == 0)
+
+    mesh = global_mesh()
+    s = Sampler(
+        prior_transform,
+        log_likelihood,
+        n_dim=N_DIM,
+        n_particles=256,
+        vectorize=True,
+        clustering=True,
+        random_state=7,
+        mesh=mesh,
+    )
+    s.run(n_total=512, progress=False)
+    logz = s.logz
+
+    # Multi-host checkpoint: collective gather, primary-only write, barrier.
+    ckpt = workdir / "mp.state"
+    s.save_state(ckpt)
+    assert ckpt.exists()
+
+    # Resume into a fresh sampler; state must re-shard over the global mesh.
+    s2 = Sampler(
+        prior_transform,
+        log_likelihood,
+        n_dim=N_DIM,
+        n_particles=256,
+        vectorize=True,
+        clustering=True,
+        random_state=0,
+        mesh=mesh,
+    )
+    s2.load_state(ckpt)
+    assert int(s2.state.hist.t) == int(s.state.hist.t)
+    assert abs(s2.logz - logz) < 1e-6
+    assert not s2.state.hist.u.sharding.is_fully_addressable
+
+    # Posterior extraction gathers shards across processes.
+    x, w, _ = s2.posterior()
+    mean0 = float(np.average(x[:, 0], weights=w))
+
+    print(
+        "RESULT "
+        + json.dumps(
+            {
+                "pid": process_id,
+                "beta": float(s.beta),
+                "logz": round(float(logz), 10),
+                "t": int(s.state.hist.t),
+                "mean0": mean0,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Multi-process (2-controller) execution over jax.distributed.
+
+Round-1 review item 1(ii): `parallel/distributed.py` had no test anywhere.
+This spawns two real OS processes, each a separate JAX controller with 4
+virtual CPU devices, joined by `jax.distributed.initialize` into one
+8-device job (Gloo collectives). The workers run a clustered sharded
+annealing through the public API, checkpoint (primary-only write with a
+global barrier), resume, and extract the posterior; the parent asserts
+both controllers converge to the identical evidence.
+
+This is the CPU stand-in for a multi-host TPU pod: the SPMD partitioning,
+collectives, non-addressable-shard handling, and checkpoint gathers take
+exactly the same code paths.
+"""
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+_WORKER = Path(__file__).parent / "distributed_worker.py"
+ANALYTIC_LOGZ = -4 * float(np.log(20.0))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_annealing_and_checkpoint(tmp_path):
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(_WORKER), str(i), str(port), str(tmp_path)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+
+    results = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
+        results.append(json.loads(line[len("RESULT "):]))
+
+    r0, r1 = results
+    # Both controllers execute the same SPMD program: identical evidence.
+    assert r0["logz"] == r1["logz"]
+    assert r0["t"] == r1["t"]
+    assert r0["beta"] == 1.0 and r1["beta"] == 1.0
+    assert abs(r0["logz"] - ANALYTIC_LOGZ) < 0.5
+    assert abs(r0["mean0"]) < 0.5

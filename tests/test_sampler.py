@@ -386,3 +386,46 @@ class TestCallsCounter:
         hist_calls = s.results()["calls"]
         assert hist_calls.dtype == np.int64
         assert s.calls == hist_calls[-1]
+
+
+class TestClusterEvery:
+    """cluster_every > 1 runs through the fused path with the fitted model
+    carried between iterations (round-1 review, weak item 6)."""
+
+    def test_cluster_every_3_fused(self):
+        s = Sampler(
+            lambda u: 20.0 * u - 10.0,
+            lambda x: -0.5 * jnp.sum(x**2, axis=-1)
+            - 0.5 * 4 * jnp.log(2 * jnp.pi),
+            n_dim=4,
+            n_particles=128,
+            vectorize=True,
+            clustering=True,
+            cluster_every=3,
+            random_state=3,
+        )
+        assert s.state._fused_iter is not None  # fused path, not host loop
+        s.run(n_total=256, progress=False)
+        assert s.beta == 1.0
+        assert abs(s.logz - (-4 * np.log(20.0))) < 0.5
+        # the carried model became a real fit at some point
+        assert bool(s.state._fused_fitted)
+
+    def test_fused_false_uses_host_loop(self):
+        from tempest_tpu.config import SamplerConfig
+        from tempest_tpu.core import SamplerCore
+
+        cfg = SamplerConfig(
+            prior_transform=lambda u: 2.0 * u - 1.0,
+            log_likelihood=lambda x: -0.5 * jnp.sum(x**2, axis=-1),
+            n_dim=2,
+            n_particles=64,
+            vectorize=True,
+            clustering=False,
+            random_state=0,
+            fused=False,
+        )
+        core = SamplerCore(cfg)
+        assert core._fused_iter is None
+        core.run_sampling(n_total=128, progress=False)
+        assert float(core.cur.beta) == 1.0
