@@ -116,16 +116,21 @@ def check_pallas_vs_xla(hist):
 
     t = int(hist.t)
     beta_prev = jnp.asarray(float(hist.beta[max(t // 2, 0)]), hist.logl.dtype)
-    target = jnp.asarray(2.0 * N_PARTICLES, hist.logl.dtype)
 
     denom = mis_denominator(hist)
     bm = jnp.where(hist.sample_mask(), denom, jnp.inf)
-    beta_pallas = float(ess_bisect_beta(hist.flat_logl(), bm, beta_prev, target))
-
     ess_at, metric_at = _make_metric_fns(hist, False, denom)
     one = jnp.asarray(1.0, hist.logl.dtype)
     ess_cur = float(ess_at(beta_prev))
     ess_one = float(ess_at(one))
+    # Target strictly between ESS(beta_prev) and ESS(1) so BOTH paths must
+    # genuinely bisect (at the end of a converged run ESS(1) usually
+    # exceeds 2N, which would short-circuit to the jump-to-1 branch and
+    # test nothing).
+    target = jnp.asarray(float(np.sqrt(ess_cur * ess_one)), hist.logl.dtype)
+
+    beta_pallas = float(ess_bisect_beta(hist.flat_logl(), bm, beta_prev, target))
+
     if ess_cur <= float(target):
         beta_xla = float(beta_prev)
     elif ess_one >= float(target):

@@ -117,11 +117,12 @@ def mixture10():
         loglike=loglike,
         vectorize=True,
         clustering=True,
-        on_device=False,
+        on_device=True,  # fused path carries the cluster model since r2
         n_particles=1024,
         n_total=4096,
         history_capacity=128,
         analytic_logz=-d * np.log(20.0),
+        check_modes=True,
     )
 
 
@@ -214,6 +215,12 @@ def run_config(name, seed=42):
     if cfg["analytic_logz"] is not None:
         out["logz_analytic"] = round(cfg["analytic_logz"], 3)
         out["logz_err"] = round(float(logz) - cfg["analytic_logz"], 3)
+    if cfg.get("check_modes"):
+        # Multimodal recovery: clusters found + posterior mass per mode.
+        x, w, _ = s.posterior()
+        mass_pos = float(np.sum(w[x[:, 0] > 0]))
+        out["n_modes_found"] = int(s.state.trainer.cluster_model.n_clusters())
+        out["mode_mass_split"] = round(mass_pos, 3)
     return out
 
 
@@ -224,11 +231,29 @@ def main():
     args = p.parse_args()
 
     names = sorted(CONFIGS) if args.config == "all" else [args.config]
+    results = []
     for name in names:
         try:
-            print(json.dumps(run_config(name, seed=args.seed)))
+            out = run_config(name, seed=args.seed)
+            results.append(out)
+            print(json.dumps(out))
         except Exception as e:  # keep the suite going
+            results.append({"config": name, "error": str(e)})
             print(json.dumps({"config": name, "error": str(e)}), file=sys.stderr)
+
+    if args.config == "all":
+        import jax as _jax
+
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results", "suite_tpu.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(
+                {"device": str(_jax.devices()[0]), "seed": args.seed,
+                 "results": results},
+                f, indent=2,
+            )
+            f.write("\n")
 
 
 if __name__ == "__main__":

@@ -104,6 +104,11 @@ class SamplerConfig:
     # per-stage host loop (one device program per pipeline stage) — slower,
     # but each stage is separately profileable/debuggable.
     fused: bool = True
+    # Batched i.i.d. proposal candidates per walker per MCMC step (the
+    # bounded replacement for the reference's redraw-until-in-bounds loop,
+    # mcmc.py:239-249 there). Raise it for heavily bounded problems where
+    # walkers sit against walls with large step sizes.
+    n_candidates: int = N_PROPOSAL_CANDIDATES
 
     def __post_init__(self) -> None:
         if not isinstance(self.n_dim, int):

@@ -105,6 +105,7 @@ class SamplerCore:
             periodic_mask=p_mask,
             reflective_mask=r_mask,
             strict_mask=s_mask,
+            n_candidates=cfg.n_candidates,
             have_blobs=self.have_blobs,
         )
         self._warmup = make_warmup_kernel(

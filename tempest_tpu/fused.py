@@ -63,6 +63,7 @@ def _make_iteration_fn(
         periodic_mask=p_mask,
         reflective_mask=r_mask,
         strict_mask=s_mask,
+        n_candidates=cfg.n_candidates,
         have_blobs=cfg.blobs_dtype is not None,
     )
     n_resample = max(64, 4 * cfg.n_particles)

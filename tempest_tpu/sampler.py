@@ -58,6 +58,7 @@ class Sampler:
         k_max: Optional[int] = None,
         history_capacity: Optional[int] = None,
         blob_size: Optional[int] = None,
+        n_candidates: Optional[int] = None,
     ):
         import jax.numpy as jnp
 
@@ -70,6 +71,8 @@ class Sampler:
             extra["history_capacity"] = history_capacity
         if blob_size is not None:
             extra["blob_size"] = blob_size
+        if n_candidates is not None:
+            extra["n_candidates"] = n_candidates
 
         config = SamplerConfig(
             prior_transform=prior_transform,
