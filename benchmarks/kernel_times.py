@@ -147,6 +147,63 @@ def main():
     jax.block_until_ready(zs)
     timeit("posterior logw (beta=1)", post_fn, lambda i: (hist, zs[i]))
 
+    # --- clustered-path stages (the expensive configuration) -----------------
+    from tempest_tpu.cluster import cluster_predict, hgm_fit
+    from tempest_tpu.modes import fit_mode_statistics
+
+    K_MAX = 16
+
+    def hgm_args(i):
+        _, w_trim = trim_weights_mask(
+            weights, mask=hist.sample_mask(), ess=TRIM_ESS, bins=TRIM_BINS
+        )
+        return (
+            keys[i], hist.flat_u(), w_trim, hist.sample_mask(),
+            jnp.asarray(2 * N_DIM, jnp.int32), jnp.asarray(1.0, jnp.float32),
+        )
+
+    hgm_j = jax.jit(
+        lambda k, X, w, m, mp, th: hgm_fit(
+            k, X, w, m, mp, th, K_MAX, "full", K_MAX - 1, True
+        )
+    )
+    timeit("hgm fit (full history)", hgm_j, hgm_args, n=5)
+
+    # Production path: geometry fits on the top-train_max_points samples
+    # by weight (config.train_max_points, default max(4096, 4N)). The
+    # selection itself is staged ONCE here — inside the fused iteration it
+    # is part of the same program; timing it eagerly per call would
+    # measure the relay tunnel, not the kernel.
+    _, w_trim_c = trim_weights_mask(
+        weights, mask=hist.sample_mask(), ess=TRIM_ESS, bins=TRIM_BINS
+    )
+    w_sel, sel_idx = jax.jit(lambda w: jax.lax.top_k(w, 4096))(w_trim_c)
+    u_sub = jax.jit(lambda X, i: X[i])(hist.flat_u(), sel_idx)
+    keep_sub = jax.jit(lambda w: w > 0.0)(w_sel)
+    jax.block_until_ready((u_sub, w_sel, keep_sub))
+
+    def hgm_sub_args(i):
+        return (
+            keys[i], u_sub, w_sel, keep_sub,
+            jnp.asarray(2 * N_DIM, jnp.int32), jnp.asarray(1.0, jnp.float32),
+        )
+
+    timeit("hgm fit (top-4096 select)", hgm_j, hgm_sub_args, n=5)
+
+    model, labels, _ = hgm_j(*hgm_args(0))
+    predict_j = jax.jit(cluster_predict)
+    timeit("cluster predict (history)", predict_j, lambda i: (model, hist.flat_u()))
+
+    def mode_stats_fn(k, h, w):
+        _, w_trim = trim_weights_mask(w, mask=h.sample_mask(), ess=TRIM_ESS, bins=TRIM_BINS)
+        lbl = cluster_predict(model, h.flat_u())
+        return fit_mode_statistics(
+            k, h.flat_u(), w_trim, lbl, k_max=K_MAX,
+            n_resample=4 * N_PART, dof_fallback=DOF_FALLBACK,
+        )
+    timeit("per-mode student-t (K=16)", jax.jit(mode_stats_fn),
+           lambda i: (keys[i], hist, weights), n=5)
+
 
 if __name__ == "__main__":
     main()

@@ -109,6 +109,15 @@ class SamplerConfig:
     # mcmc.py:239-249 there). Raise it for heavily bounded problems where
     # walkers sit against walls with large step sizes.
     n_candidates: int = N_PROPOSAL_CANDIDATES
+    # Geometry fits (hierarchical GMM + per-mode Student-t) run on a
+    # weighted subsample of the trimmed history once it exceeds this many
+    # points. The trimmed history carries only ~ess_ratio*n_particles
+    # effective samples during annealing, so a subsample several times
+    # that size changes the fits only at Monte-Carlo-noise level while
+    # cutting the EM cost by T_max*N/train_max_points (the clustered
+    # path's dominant term; see benchmarks/results/kernel_times_tpu.txt).
+    # None = auto (max(4096, 4*n_particles)); 0 disables subsampling.
+    train_max_points: Optional[int] = None
 
     def __post_init__(self) -> None:
         if not isinstance(self.n_dim, int):
@@ -132,6 +141,11 @@ class SamplerConfig:
 
         if self.n_max_clusters is not None:
             object.__setattr__(self, "k_max", max(1, int(self.n_max_clusters)))
+
+        if self.train_max_points is None:
+            object.__setattr__(
+                self, "train_max_points", max(4096, 4 * self.n_particles)
+            )
 
         self.validate()
 

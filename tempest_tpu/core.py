@@ -122,6 +122,7 @@ class SamplerCore:
             dof_fallback=DOF_FALLBACK,
             n_particles=cfg.n_particles,
             dtype=cfg.dtype,
+            train_max_points=cfg.train_max_points,
         )
 
         # Fused fast path: the entire iteration (reweight + clustering +

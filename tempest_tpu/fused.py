@@ -86,13 +86,33 @@ def _make_iteration_fn(
         keep_mask, w_trim = trim_weights_mask(
             weights, mask=hist.sample_mask(), ess=TRIM_ESS, bins=TRIM_BINS
         )
+
+        # Geometry fits see only the top-train_max_points samples BY WEIGHT
+        # once the history exceeds that size: the trimmed history carries
+        # only ~ess_ratio*N effective samples, so the discarded tiny-weight
+        # tail contributes nothing to the weighted EM fits, while the cost
+        # drops by S/train_max_points. Selection (not resampling!) keeps
+        # the true weights and introduces no duplicate point-atoms — a
+        # resampled subsample was measured to fool the BIC splitter into
+        # splitting duplicated atoms and losing real modes.
+        m_cap = cfg.train_max_points
+        S = hist.capacity * cfg.n_particles
+        if m_cap and m_cap < S:
+            w_fit, idx = jax.lax.top_k(w_trim, m_cap)
+            u_fit = hist.flat_u()[idx]
+            keep_fit = w_fit > 0.0
+        else:
+            u_fit = hist.flat_u()
+            w_fit = w_trim
+            keep_fit = keep_mask
+
         if clustered:
             def do_fit(_):
                 m, _, _ = hgm_fit(
                     jax.random.PRNGKey(42),
-                    hist.flat_u(),
-                    w_trim,
-                    keep_mask,
+                    u_fit,
+                    w_fit,
+                    keep_fit,
                     jnp.asarray(hgm_min_points, jnp.int32),
                     jnp.asarray(cfg.split_threshold, cfg.dtype),
                     k_max,
@@ -114,11 +134,11 @@ def _make_iteration_fn(
                 cluster_model = jax.lax.cond(
                     refit, do_fit, lambda _: model, None
                 )
-            labels = cluster_predict(cluster_model, hist.flat_u())
+            labels = cluster_predict(cluster_model, u_fit)
             modes = fit_mode_statistics(
                 k_train,
-                hist.flat_u(),
-                w_trim,
+                u_fit,
+                w_fit,
                 labels,
                 k_max=k_max,
                 n_resample=n_resample,
@@ -127,7 +147,7 @@ def _make_iteration_fn(
         else:
             cluster_model = dummy_cluster
             modes = fit_global_mode(
-                k_train, hist.flat_u(), w_trim,
+                k_train, u_fit, w_fit,
                 n_resample=n_resample, dof_fallback=DOF_FALLBACK,
             )
         u, x, logl, blobs, assignments = resample_step(

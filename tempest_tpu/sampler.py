@@ -59,6 +59,7 @@ class Sampler:
         history_capacity: Optional[int] = None,
         blob_size: Optional[int] = None,
         n_candidates: Optional[int] = None,
+        train_max_points: Optional[int] = None,
     ):
         import jax.numpy as jnp
 
@@ -73,6 +74,8 @@ class Sampler:
             extra["blob_size"] = blob_size
         if n_candidates is not None:
             extra["n_candidates"] = n_candidates
+        if train_max_points is not None:
+            extra["train_max_points"] = train_max_points
 
         config = SamplerConfig(
             prior_transform=prior_transform,

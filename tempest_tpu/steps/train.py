@@ -45,6 +45,7 @@ class Trainer:
         resample_factor: int = 4,
         n_particles: int = 256,
         dtype=jnp.float32,
+        train_max_points: int = 0,
     ):
         self.n_dim = n_dim
         self.k_max = k_max
@@ -52,6 +53,7 @@ class Trainer:
         self.cluster_every = cluster_every
         self.dof_fallback = dof_fallback
         self.dtype = dtype
+        self.train_max_points = train_max_points
         # Fixed per-mode resample size for the Student-t fits. The reference
         # resamples each cluster to 4x its member count (modes.py:196-205);
         # a fixed size keeps shapes static under jit (see modes.py here).
@@ -89,23 +91,33 @@ class Trainer:
         )
         u_flat = hist.flat_u()
 
+        # Top-by-weight selection for the geometry fits (see config
+        # train_max_points and the same logic in fused._mutate_branch).
+        m_cap = self.train_max_points
+        if m_cap and m_cap < u_flat.shape[0]:
+            w_fit, idx = jax.lax.top_k(w_trim, m_cap)
+            u_fit = u_flat[idx]
+            keep_fit = w_fit > 0.0
+        else:
+            u_fit, w_fit, keep_fit = u_flat, w_trim, keep_mask
+
         if self.clustering:
             refit = iteration % self.cluster_every == 0 or iteration == 0
             if refit or self.clusterer.model is None:
-                self.clusterer.fit(u_flat, w_trim, mask=keep_mask)
+                self.clusterer.fit(u_fit, w_fit, mask=keep_fit)
                 self._model = self.clusterer.model
             # Device-native predict — the class method would round-trip the
             # (T*N,) label array through the host on every iteration.
-            labels = cluster_predict(self._model, u_flat)
+            labels = cluster_predict(self._model, u_fit)
             return fit_mode_statistics(
                 key,
-                u_flat,
-                w_trim,
+                u_fit,
+                w_fit,
                 labels,
                 k_max=self.k_max,
                 n_resample=self.n_resample,
                 dof_fallback=self.dof_fallback,
             )
         return fit_global_mode(
-            key, u_flat, w_trim, n_resample=self.n_resample, dof_fallback=self.dof_fallback
+            key, u_fit, w_fit, n_resample=self.n_resample, dof_fallback=self.dof_fallback
         )

@@ -93,3 +93,120 @@ class TestDynamicMode:
         s = run_dynamic(0.5)
         assert isinstance(s.cv, float)
         assert s.volume_variation == 0.5
+
+
+class TestDynamicConfig:
+    """Config-level coverage mirroring the reference's
+    VolumeVariationConfigTestCase (test_volume_variation.py:15-88)."""
+
+    def _cfg(self, **kw):
+        from tempest_tpu.config import SamplerConfig
+
+        kw.setdefault("prior_transform", prior_transform)
+        kw.setdefault("log_likelihood", log_likelihood)
+        kw.setdefault("n_dim", N_DIM)
+        kw.setdefault("n_particles", 64)
+        return SamplerConfig(**kw)
+
+    def test_none_selects_ess_mode_target(self):
+        c = self._cfg(volume_variation=None, ess_ratio=3.0)
+        assert c.get_target_metric() == 3.0 * 64
+
+    def test_positive_selects_cv_target(self):
+        c = self._cfg(volume_variation=0.7)
+        assert c.get_target_metric() == 0.7
+
+    def test_zero_rejected(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="volume_variation"):
+            self._cfg(volume_variation=0.0)
+
+    def test_negative_rejected(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="volume_variation"):
+            self._cfg(volume_variation=-0.3)
+
+    def test_coexists_with_ess_ratio(self):
+        # ess_ratio still bounds the bracket search in dynamic mode
+        c = self._cfg(volume_variation=0.5, ess_ratio=4.0)
+        assert c.ess_ratio == 4.0
+        assert c.get_target_metric() == 0.5
+
+
+class TestDynamicEdgeCases:
+    """Mirrors VolumeVariationEdgeCasesTestCase
+    (test_volume_variation.py:208-296)."""
+
+    def test_very_small_target_converges(self):
+        # CV target 0.02: many tiny beta steps, must still reach beta=1.
+        s = run_dynamic(0.02, n_particles=64, n_total=128)
+        assert s.beta == 1.0
+        assert int(s.state.hist.t) >= 5
+
+    def test_large_target_converges(self):
+        s = run_dynamic(5.0, n_particles=64, n_total=128)
+        assert s.beta == 1.0
+
+    def test_higher_dimensional(self):
+        import jax.numpy as jnp
+
+        d = 8
+        s = Sampler(
+            lambda u: -5.0 + 10.0 * u,
+            lambda x: -0.5 * jnp.sum(x**2, axis=-1) - 0.5 * d * jnp.log(2 * jnp.pi),
+            n_dim=d,
+            n_particles=128,
+            volume_variation=0.5,
+            vectorize=True,
+            clustering=False,
+            random_state=2,
+        )
+        s.run(n_total=256, progress=False)
+        assert s.beta == 1.0
+        assert abs(s.evidence()[0] - (-d * np.log(10.0))) < 1.0
+
+    def test_multimodal_dynamic(self):
+        import jax.numpy as jnp
+
+        def bimodal(x):
+            a = -0.5 * jnp.sum((x - 2.0) ** 2, axis=-1)
+            b = -0.5 * jnp.sum((x + 2.0) ** 2, axis=-1)
+            return jnp.logaddexp(a, b) - jnp.log(2.0) - 0.5 * N_DIM * jnp.log(2 * jnp.pi)
+
+        s = Sampler(
+            prior_transform,
+            bimodal,
+            n_dim=N_DIM,
+            n_particles=128,
+            volume_variation=0.5,
+            vectorize=True,
+            clustering=True,
+            random_state=5,
+        )
+        s.run(n_total=256, progress=False)
+        assert s.beta == 1.0
+        x, w, _ = s.posterior()
+        mass_pos = float(np.sum(w[x[:, 0] > 0]))
+        assert 0.2 < mass_pos < 0.8
+
+    def test_dynamic_vs_ess_same_answer(self):
+        # Both modes target the same posterior; logZ must agree
+        # (reference test_volume_variation.py:175-206).
+        s_dyn = run_dynamic(0.5, seed=11, n_particles=128, n_total=512)
+        s_ess = Sampler(
+            prior_transform,
+            log_likelihood,
+            n_dim=N_DIM,
+            n_particles=128,
+            clustering=False,
+            random_state=11,
+        )
+        s_ess.run(n_total=512, progress=False)
+        assert abs(s_dyn.logz - s_ess.logz) < 0.6
+        x1, w1, _ = s_dyn.posterior()
+        x2, w2, _ = s_ess.posterior()
+        m1 = np.average(x1, axis=0, weights=w1)
+        m2 = np.average(x2, axis=0, weights=w2)
+        np.testing.assert_allclose(m1, m2, atol=0.4)
