@@ -434,7 +434,10 @@ def _split_round(
 
 @partial(
     jax.jit,
-    static_argnames=("k_max", "covariance_type", "max_rounds", "normalize", "n_init"),
+    static_argnames=(
+        "k_max", "covariance_type", "max_rounds", "normalize", "n_init",
+        "split_all",
+    ),
 )
 def hgm_fit(
     key: jax.Array,
@@ -448,6 +451,7 @@ def hgm_fit(
     max_rounds: int,
     normalize: bool,
     n_init: int = 1,
+    split_all: bool = False,
 ):
     """The ENTIRE hierarchical fit as one device program.
 
@@ -486,6 +490,30 @@ def hgm_fit(
             key, Xw, sw, c["labels"], c["n_leaves"], min_points,
             threshold_modifier, k_max, covariance_type, n_init,
         )
+        if split_all:
+            # Split EVERY eligible leaf this round (standard bisecting
+            # k-means cadence): the tree reaches K leaves in ~log2(K)
+            # rounds instead of K-1, and each round's cost is the same
+            # fixed-shape vmapped program. Eligible leaves take new slots
+            # in leaf-id order; any that would overflow k_max wait for
+            # the next round (and are re-gated then).
+            elig = out["eligible"]
+            rank = jnp.cumsum(elig.astype(jnp.int32)) - 1  # (k_max,)
+            new_ids = c["n_leaves"] + rank
+            can = elig & (new_ids < k_max)
+            lab = c["labels"]
+            safe = jnp.clip(lab, 0, k_max - 1)
+            n = lab.shape[0]
+            sample_child = out["child"].astype(jnp.int32)[safe, jnp.arange(n)]
+            move = (lab >= 0) & can[safe] & (sample_child == 1)
+            new_labels = jnp.where(move, new_ids[safe], lab)
+            n_split = jnp.sum(can).astype(jnp.int32)
+            return {
+                "labels": new_labels,
+                "n_leaves": c["n_leaves"] + n_split,
+                "go": n_split > 0,
+                "round": c["round"] + 1,
+            }
         any_elig = jnp.any(out["eligible"])
         leaf = jnp.argmax(out["improvement"]).astype(jnp.int32)
         child_row = out["child"][leaf].astype(jnp.int32)  # (n,)
@@ -595,6 +623,7 @@ class HierarchicalGaussianMixture:
         normalize: bool = False,
         k_max: int = 16,
         seed: int = 42,
+        split_all: bool = False,
     ):
         if threshold_modifier <= 0:
             raise ValueError("threshold_modifier must be positive.")
@@ -607,6 +636,7 @@ class HierarchicalGaussianMixture:
         self.normalize = normalize
         self.k_max = k_max
         self.seed = seed
+        self.split_all = split_all
         self.model: Optional[ClusterModel] = None
         self._labels_dev: Optional[jnp.ndarray] = None
         self._n_leaves_dev = None
@@ -666,6 +696,7 @@ class HierarchicalGaussianMixture:
             min(self.max_iterations, self.k_max - 1),
             self.normalize,
             self.n_init,
+            self.split_all,
         )
         if self.verbose:
             print(f"HGM fit: {self.n_clusters_} leaves")

@@ -118,6 +118,15 @@ class SamplerConfig:
     # path's dominant term; see benchmarks/results/kernel_times_tpu.txt).
     # None = auto (max(4096, 4*n_particles)); 0 disables subsampling.
     train_max_points: Optional[int] = None
+    # Hierarchical-clustering split cadence. True (default) splits every
+    # BIC-eligible leaf per round (standard bisecting k-means: K leaves in
+    # ~log2(K) rounds — measured ~1.7x faster end-to-end on the clustered
+    # flagship at identical evidence/mode recovery). False reproduces the
+    # reference's cadence exactly: one best-improvement leaf per round
+    # (cluster.py:445-521 there), K-1 rounds. The per-leaf BIC gates and
+    # min_points rules are identical either way; only the split ORDER
+    # differs, which matters when k_max caps the leaf count.
+    split_all: bool = True
 
     def __post_init__(self) -> None:
         if not isinstance(self.n_dim, int):

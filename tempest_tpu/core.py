@@ -123,6 +123,7 @@ class SamplerCore:
             n_particles=cfg.n_particles,
             dtype=cfg.dtype,
             train_max_points=cfg.train_max_points,
+            split_all=cfg.split_all,
         )
 
         # Fused fast path: the entire iteration (reweight + clustering +

@@ -119,6 +119,7 @@ def _make_iteration_fn(
                     "full",
                     hgm_max_rounds,
                     cfg.normalize,
+                    split_all=cfg.split_all,
                 )
                 return m
 

@@ -60,6 +60,7 @@ class Sampler:
         blob_size: Optional[int] = None,
         n_candidates: Optional[int] = None,
         train_max_points: Optional[int] = None,
+        split_all: Optional[bool] = None,
     ):
         import jax.numpy as jnp
 
@@ -76,6 +77,8 @@ class Sampler:
             extra["n_candidates"] = n_candidates
         if train_max_points is not None:
             extra["train_max_points"] = train_max_points
+        if split_all is not None:
+            extra["split_all"] = split_all
 
         config = SamplerConfig(
             prior_transform=prior_transform,

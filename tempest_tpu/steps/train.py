@@ -46,6 +46,7 @@ class Trainer:
         n_particles: int = 256,
         dtype=jnp.float32,
         train_max_points: int = 0,
+        split_all: bool = False,
     ):
         self.n_dim = n_dim
         self.k_max = k_max
@@ -61,6 +62,7 @@ class Trainer:
         self.clusterer = None
         if clustering:
             self.clusterer = HierarchicalGaussianMixture(
+                split_all=split_all,
                 n_init=1,
                 max_iterations=1000 if n_max_clusters is None else n_max_clusters - 1,
                 min_points=None if n_max_clusters is None else 4 * n_dim,

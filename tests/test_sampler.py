@@ -209,6 +209,76 @@ class TestSampleMethod:
             assert key in state
         assert state["u"].shape == (128, N_DIM)
 
+    def test_sample_cannot_corrupt_internal_state(self):
+        # The reference returns defensive copies (test_sample_method.py:
+        # 125-147); here the returned numpy views are READ-ONLY (np.asarray
+        # of a device array), which enforces the same contract harder:
+        # callers cannot mutate internal state through the return value.
+        s = make_sampler()
+        st = s.sample()
+        with pytest.raises(ValueError, match="read-only"):
+            st["u"][:] = -1.0
+        st2 = s.sample()
+        assert (st2["u"] >= 0.0).all() and (st2["u"] <= 1.0).all()
+
+    def test_sample_monotone_counters(self):
+        # iter increments by one and calls never decreases across manual
+        # steps (reference test_sample_method.py:148-207).
+        s = make_sampler()
+        prev_calls, prev_beta = 0, -1.0
+        for k in range(1, 6):
+            st = s.sample()
+            assert st["iter"] == k
+            assert st["calls"] >= prev_calls
+            assert st["beta"] >= prev_beta
+            prev_calls, prev_beta = st["calls"], st["beta"]
+
+    def test_manual_loop_matches_run_logz(self):
+        # Driving sample() by hand with the reference termination rule must
+        # land on the same evidence as run() with the same seed
+        # (test_sample_method.py:334-366 — run() IS the sample() loop).
+        s_run = make_sampler(random_state=7)
+        s_run.run(n_total=256, progress=False)
+
+        s_man = make_sampler(random_state=7)
+        for _ in range(200):
+            st = s_man.sample()
+            if 1.0 - st["beta"] < 1e-4:
+                from tempest_tpu.ops.tools import ess_from_logw
+                from tempest_tpu.state import compute_logw_and_logz
+
+                logw, _ = compute_logw_and_logz(s_man.state.hist, 1.0)
+                if float(ess_from_logw(logw)) >= 256:
+                    break
+        # Same final evidence recomputation as run()
+        from tempest_tpu.state import compute_logw_and_logz
+
+        _, logz_man = compute_logw_and_logz(s_man.state.hist, 1.0)
+        assert int(s_man.state.hist.t) == int(s_run.state.hist.t)
+        assert abs(float(logz_man) - s_run.logz) < 1e-5
+
+    def test_sample_with_blobs(self):
+        # Per-particle blob outputs flow through the manual-step API
+        # (reference test_sample_method.py:267-302).
+        def ll_blob(x):
+            return -0.5 * jnp.sum(x**2), jnp.sum(x)
+
+        s = Sampler(
+            prior_transform,
+            ll_blob,
+            n_dim=N_DIM,
+            n_particles=64,
+            clustering=False,
+            blobs_dtype="float32",
+            random_state=0,
+        )
+        st = s.sample()
+        assert st["blobs"] is not None
+        assert st["blobs"].shape == (64, 1)
+        np.testing.assert_allclose(
+            st["blobs"][:, 0], st["x"].sum(axis=1), rtol=1e-5
+        )
+
 
 class TestSaveLoad:
     def test_checkpoint_roundtrip(self, tmp_path):
