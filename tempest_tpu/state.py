@@ -323,7 +323,14 @@ def logw_from_denominator(
     n_total = (hist.t * N).astype(hist.logl.dtype)
 
     beta_final = jnp.asarray(beta_final, dtype=hist.logl.dtype)
-    logw = jnp.where(s_mask, beta_final * logl - denom, -jnp.inf)
+    # Guard -inf log-likelihoods: their denominator is also -inf (the
+    # accumulator masks them), and -inf - (-inf) = NaN would poison the
+    # normalizing logsumexp. Such samples carry exactly zero weight. (The
+    # warm-up patch keeps -inf out of committed history in normal runs —
+    # mutate.py:124-148 in the reference — this is defense in depth.)
+    logw = jnp.where(
+        s_mask & jnp.isfinite(logl), beta_final * logl - denom, -jnp.inf
+    )
     logz_new = logsumexp(logw) - jnp.log(jnp.maximum(n_total, 1.0))
     logz_new = jnp.where(hist.t > 0, logz_new, -jnp.inf)
 

@@ -499,3 +499,34 @@ class TestClusterEvery:
         assert core._fused_iter is None
         core.run_sampling(n_total=128, progress=False)
         assert float(core.cur.beta) == 1.0
+
+
+class TestCheckpointCompat:
+    def test_legacy_raw_call_counts_converted(self, tmp_path):
+        """Files from before the sweep-units change stored raw call counts;
+        load_checkpoint must convert them (utils/checkpoint.py)."""
+        import json
+
+        s = make_sampler()
+        for _ in range(3):
+            s.sample()
+        path = tmp_path / "new.state"
+        s.save_state(path)
+        sweeps = int(s.state.cur.calls)
+        n = s.n_particles
+
+        # Rewrite the file as a legacy checkpoint: raw counts, no marker.
+        with np.load(path, allow_pickle=False) as data:
+            arrays = {k: data[k] for k in data.files if k != "__meta__"}
+            payload = json.loads(str(data["__meta__"]))
+        del payload["calls_units"]
+        arrays["cur.calls"] = arrays["cur.calls"] * n
+        arrays["hist.calls"] = arrays["hist.calls"] * n
+        legacy = tmp_path / "legacy.state"
+        with open(legacy, "wb") as f:  # np.savez(path) would append .npz
+            np.savez(f, __meta__=json.dumps(payload), **arrays)
+
+        s2 = make_sampler()
+        s2.load_state(legacy)
+        assert int(s2.state.cur.calls) == sweeps  # back in sweep units
+        assert s2.calls == sweeps * n  # raw count identical

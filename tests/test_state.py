@@ -178,3 +178,53 @@ class TestIncrementalDenominator:
             np.asarray(rebuilt.mis_c)[valid],
             rtol=2e-5, atol=2e-5,
         )
+
+
+class TestGrowthAndAccumulator:
+    def test_accumulator_survives_growth(self):
+        # grow_history must preserve mis_c so subsequent weights match a
+        # from-scratch rebuild.
+        from tempest_tpu.state import mis_denominator, mis_denominator_exact
+
+        rng = np.random.default_rng(3)
+        logl_iters = [rng.normal(-5, 2, 8) for _ in range(3)]
+        betas, logzs = [0.0, 0.2, 0.6], [0.0, -0.4, -1.1]
+        hist = _fill_history(logl_iters, betas, logzs, capacity=4)
+        hist = grow_history(hist, 16)
+        # commit one more iteration after growth
+        cur = make_current(8, 2).replace(
+            logl=jnp.asarray(rng.normal(-4, 1, 8), jnp.float32),
+            beta=jnp.asarray(0.9, jnp.float32),
+            logz=jnp.asarray(-1.5, jnp.float32),
+        )
+        hist = commit(hist, cur)
+        d_inc = np.asarray(mis_denominator(hist))
+        d_exact = np.asarray(mis_denominator_exact(hist))
+        valid = np.asarray(hist.sample_mask())
+        np.testing.assert_allclose(d_inc[valid], d_exact[valid], rtol=2e-5, atol=2e-5)
+
+    def test_infinite_logl_masked_not_nan(self):
+        # -inf log-likelihoods must never produce NaNs in the weight math
+        # (0 * inf guard in state._mis_c_after_commit / mis_denominator_exact).
+        logl = np.array([-1.0, -2.0, -np.inf, -3.0])
+        hist = _fill_history([logl], [0.5], [-0.2])
+        logw, logz = compute_logw_and_logz(hist, 1.0)
+        logw = np.asarray(logw)[np.asarray(hist.sample_mask())]
+        assert not np.any(np.isnan(logw))
+        assert np.isfinite(logz)
+        assert logw[2] == -np.inf  # the infinite-logl sample carries no weight
+
+
+class TestHostFetch:
+    def test_fetch_passthrough_single_process(self):
+        from tempest_tpu.utils.host import fetch, fetch_tree, is_primary, sync
+
+        a = jnp.arange(6.0).reshape(2, 3)
+        out = fetch(a)
+        assert isinstance(out, np.ndarray)
+        np.testing.assert_array_equal(out, np.arange(6.0).reshape(2, 3))
+        tree = {"x": a, "n": None}
+        t2 = fetch_tree(tree)
+        assert t2["n"] is None and isinstance(t2["x"], np.ndarray)
+        assert is_primary()
+        sync("test")  # no-op single-process
