@@ -20,7 +20,6 @@ import numpy as np
 from .cluster import single_cluster_model
 from .config import DOF_FALLBACK, SamplerConfig
 from .mcmc import make_mcmc_kernel
-from .modes import identity_mode_statistics
 from .ops.boundary import make_boundary_masks
 from .ops.tools import ess_from_logw, systematic_resample
 from .ops.tools import trim_weights_mask

@@ -18,8 +18,7 @@ host Trainer implements (steps/train.py), with zero host round-trips.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -30,8 +30,7 @@ single fixed-shape computation with no data-dependent loop.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ hierarchical split decisions run on the host.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ Replaces the reference's pool/map likelihood fan-out (core.py:317-358,
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
