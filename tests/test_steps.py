@@ -165,3 +165,105 @@ class TestWarmup:
         np.testing.assert_allclose(np.asarray(res.x), x_expected, rtol=1e-5)
         ll_expected = -0.5 * np.sum(x_expected**2, axis=-1)
         np.testing.assert_allclose(np.asarray(res.logl), ll_expected, rtol=1e-4)
+
+
+class TestMutateStep:
+    """Mutation-kernel behavior at the step level (reference
+    test_steps.py:619-726 drives the Mutator similarly)."""
+
+    def _setup(self, beta=0.7, seed=0):
+        from tempest_tpu.mcmc import make_mcmc_kernel
+        from tempest_tpu.modes import make_mode_statistics
+
+        def prior_batch(u):
+            return 20.0 * u - 10.0
+
+        def ll(x):
+            return -0.5 * jnp.sum(x**2, axis=-1)
+
+        kernel = make_mcmc_kernel(
+            lambda x: (ll(x), None), prior_batch, D,
+            method="tpcn", n_steps=1, n_max_steps=20,
+        )
+        rng = np.random.default_rng(seed)
+        u = jnp.asarray(rng.uniform(0.4, 0.6, (N, D)), jnp.float32)
+        x = prior_batch(u)
+        logl = ll(x)
+        modes = make_mode_statistics(
+            means=jnp.full((1, D), 0.5),
+            covariances=jnp.eye(D)[None] * 0.005,
+            degrees_of_freedom=jnp.array([1e6]),
+        )
+        asn = jnp.zeros((N,), jnp.int32)
+        return kernel, u, x, logl, asn, jnp.asarray(beta, jnp.float32), modes
+
+    def test_state_consistency_after_mutation(self):
+        kernel, u, x, logl, asn, beta, modes = self._setup()
+        res = kernel(jax.random.PRNGKey(1), u, x, logl, None, asn, beta, modes)
+        u_new = np.asarray(res.u)
+        assert (u_new > 0).all() and (u_new < 1).all()
+        # atol: 20*u - 10 in float32 cancels near u=0.5 (abs error ~1e-6*20)
+        np.testing.assert_allclose(
+            np.asarray(res.x), 20.0 * u_new - 10.0, rtol=1e-5, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.logl), -0.5 * (np.asarray(res.x) ** 2).sum(-1),
+            rtol=1e-4, atol=1e-4,
+        )
+        assert (u_new != np.asarray(u)).any()  # particles actually moved
+
+    def test_steps_within_adaptive_bounds(self):
+        kernel, u, x, logl, asn, beta, modes = self._setup()
+        res = kernel(jax.random.PRNGKey(2), u, x, logl, None, asn, beta, modes)
+        assert 1 * D <= int(res.steps) <= 20 * D
+        assert 0.0 < float(res.acceptance) <= 1.0
+        assert int(res.n_call_sweeps) == int(res.steps)
+
+    def test_beta_zero_accepts_everything_in_bounds(self):
+        # At beta=0 the tempered ratio is 1: only the Student-t factor and
+        # bounds can reject, so acceptance should be high.
+        kernel, u, x, logl, asn, _, modes = self._setup()
+        res = kernel(
+            jax.random.PRNGKey(3), u, x, logl, None, asn,
+            jnp.asarray(0.0, jnp.float32), modes,
+        )
+        assert float(res.acceptance) > 0.3
+
+    def test_per_cluster_means_respected(self):
+        # Walkers assigned to well-separated modes must stay near their own
+        # mode's center under tpCN (the proposal contracts toward mu_k).
+        from tempest_tpu.mcmc import make_mcmc_kernel
+        from tempest_tpu.modes import make_mode_statistics
+
+        def prior_batch(u):
+            return u  # identity: x == u
+
+        centers = np.array([[0.2] * D, [0.8] * D], dtype=np.float32)
+
+        def ll(x):
+            d0 = jnp.sum((x - 0.2) ** 2, axis=-1)
+            d1 = jnp.sum((x - 0.8) ** 2, axis=-1)
+            return -0.5 * jnp.minimum(d0, d1) / 0.01**2
+
+        kernel = make_mcmc_kernel(
+            lambda x: (ll(x), None), prior_batch, D,
+            method="tpcn", n_steps=2, n_max_steps=20,
+        )
+        modes = make_mode_statistics(
+            means=jnp.asarray(centers),
+            covariances=jnp.broadcast_to(jnp.eye(D) * 0.01**2, (2, D, D)),
+            degrees_of_freedom=jnp.array([1e6, 1e6]),
+        )
+        asn = jnp.asarray(np.repeat([0, 1], N // 2), jnp.int32)
+        u0 = jnp.asarray(
+            centers[np.asarray(asn)] + np.random.default_rng(0).normal(0, 0.01, (N, D)),
+            jnp.float32,
+        )
+        res = kernel(
+            jax.random.PRNGKey(4), u0, u0,
+            ll(u0), None, asn, jnp.asarray(1.0, jnp.float32), modes,
+        )
+        u_new = np.asarray(res.u)
+        # each half stayed in its own basin
+        assert np.all(np.abs(u_new[: N // 2] - 0.2) < 0.15)
+        assert np.all(np.abs(u_new[N // 2 :] - 0.8) < 0.15)
