@@ -96,3 +96,54 @@ class TestFitting:
         )
         dof = float(ms.degrees_of_freedom[0])
         assert np.isfinite(dof)  # inf replaced by fallback
+
+
+class TestModeStatisticsExtra:
+    """Extra coverage mirroring reference test_modes.py:39-174: multiple
+    modes, weighted from_particles, mismatched-shape guards."""
+
+    def test_multiple_modes_decompositions(self):
+        from tempest_tpu.modes import make_mode_statistics
+
+        means = jnp.asarray([[0.2, 0.2], [0.8, 0.8], [0.5, 0.1]])
+        covs = jnp.asarray([np.eye(2) * s for s in (0.01, 0.04, 0.09)])
+        ms = make_mode_statistics(means, covs, jnp.asarray([5.0, 50.0, 1e6]))
+        assert int(ms.n_modes()) == 3
+        for k in range(3):
+            L = np.asarray(ms.chol_covariances[k])
+            np.testing.assert_allclose(L @ L.T, np.asarray(covs[k]), atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(ms.inv_covariances[k]) @ np.asarray(covs[k]),
+                np.eye(2), atol=1e-4,
+            )
+
+    def test_weighted_per_cluster_fit_ignores_zero_weight(self):
+        import jax
+
+        from tempest_tpu.modes import fit_mode_statistics
+
+        rng = np.random.default_rng(8)
+        # cluster 0 near 0.3, cluster 1 near 0.7; half the points have zero
+        # weight and sit far away — they must not perturb the fits.
+        good0 = rng.normal(0.3, 0.02, (100, 2))
+        good1 = rng.normal(0.7, 0.02, (100, 2))
+        junk = rng.uniform(0, 1, (200, 2))
+        u = jnp.asarray(np.concatenate([good0, good1, junk]), jnp.float32)
+        w = jnp.asarray(np.r_[np.ones(200), np.zeros(200)] / 200, jnp.float32)
+        labels = jnp.asarray(np.r_[np.zeros(100), np.ones(100),
+                                   rng.integers(0, 2, 200)], jnp.int32)
+        ms = fit_mode_statistics(
+            jax.random.PRNGKey(0), u, w, labels, k_max=2,
+            n_resample=256, dof_fallback=1e6,
+        )
+        np.testing.assert_allclose(np.asarray(ms.means[0]), 0.3, atol=0.03)
+        np.testing.assert_allclose(np.asarray(ms.means[1]), 0.7, atol=0.03)
+
+    def test_auto_reshape_1d_inputs(self):
+        from tempest_tpu.modes import make_mode_statistics
+
+        ms = make_mode_statistics(
+            jnp.asarray([0.5]), jnp.asarray([[0.04]]), jnp.asarray([30.0])
+        )
+        assert ms.means.shape == (1, 1)
+        assert ms.covariances.shape == (1, 1, 1)

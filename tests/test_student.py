@@ -97,3 +97,47 @@ class TestNuRootAccuracy:
         _, _, nu = fit_mvstud(x)
         assert np.isfinite(float(nu))
         assert float(nu) < 15.0
+
+
+class TestFitMVStudExtra:
+    """Extra coverage mirroring reference test_student.py:164-231:
+    outliers, correlated data, different scales."""
+
+    def test_outliers_give_heavy_tails(self):
+        # Gaussian bulk + 5% gross outliers: a robust Student-t fit should
+        # land on a finite, smallish nu and keep the mean near the bulk.
+        rng = np.random.default_rng(4)
+        bulk = rng.standard_normal((1900, 2))
+        outl = rng.standard_normal((100, 2)) * 15.0
+        data = jnp.asarray(np.concatenate([bulk, outl]))
+        mu, Sigma, nu = fit_mvstud(data)
+        assert np.isfinite(float(nu)) and float(nu) < 20.0
+        np.testing.assert_allclose(np.array(mu), [0.0, 0.0], atol=0.25)
+
+    def test_correlated_data_covariance_recovered(self):
+        rng = np.random.default_rng(5)
+        L = np.array([[1.0, 0.0], [0.9, 0.3]])
+        data = jnp.asarray(rng.standard_normal((4000, 2)) @ L.T)
+        mu, Sigma, nu = fit_mvstud(data)
+        target = L @ L.T
+        # correlation direction recovered (scale may differ slightly with nu)
+        corr_fit = float(Sigma[0, 1] / np.sqrt(Sigma[0, 0] * Sigma[1, 1]))
+        corr_true = target[0, 1] / np.sqrt(target[0, 0] * target[1, 1])
+        assert abs(corr_fit - corr_true) < 0.05
+
+    def test_very_different_scales(self):
+        rng = np.random.default_rng(6)
+        data = rng.standard_normal((3000, 2)) * np.array([1e-3, 1e3])
+        mu, Sigma, nu = fit_mvstud(jnp.asarray(data))
+        assert np.all(np.isfinite(np.array(Sigma)))
+        # each marginal variance right to within a factor ~2
+        assert 0.5e-6 < float(Sigma[0, 0]) < 2e-6
+        assert 0.5e6 < float(Sigma[1, 1]) < 2e6
+
+    def test_tiny_sample(self):
+        # n barely above d: must not crash, must return PD covariance
+        rng = np.random.default_rng(7)
+        data = jnp.asarray(rng.standard_normal((5, 3)))
+        mu, Sigma, nu = fit_mvstud(data)
+        eig = np.linalg.eigvalsh(np.array(Sigma))
+        assert np.all(eig > 0)
