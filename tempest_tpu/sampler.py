@@ -61,6 +61,7 @@ class Sampler:
         n_candidates: Optional[int] = None,
         train_max_points: Optional[int] = None,
         split_all: Optional[bool] = None,
+        fused: Optional[bool] = None,
     ):
         import jax.numpy as jnp
 
@@ -79,6 +80,8 @@ class Sampler:
             extra["train_max_points"] = train_max_points
         if split_all is not None:
             extra["split_all"] = split_all
+        if fused is not None:
+            extra["fused"] = fused
 
         config = SamplerConfig(
             prior_transform=prior_transform,
