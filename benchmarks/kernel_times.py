@@ -100,15 +100,17 @@ def main():
     weights = rw.weights
 
     # --- trim + global Student-t fit ---------------------------------------
-    def train_fn(k, h, w):
-        _, w_trim = trim_weights_mask(w, mask=h.sample_mask(), ess=TRIM_ESS, bins=TRIM_BINS)
-        return fit_global_mode(k, h.flat_u(), w_trim,
-                               n_resample=4 * N_PART, dof_fallback=DOF_FALLBACK)
+    def train_fn(h, w):
+        _, w_trim = trim_weights_mask(
+            w.reshape(-1), mask=h.sample_mask().reshape(-1),
+            ess=TRIM_ESS, bins=TRIM_BINS,
+        )
+        return fit_global_mode(h.flat_u(), w_trim, dof_fallback=DOF_FALLBACK)
     train_j = jax.jit(train_fn)
     keys = jax.random.split(key, 64)
-    timeit("trim + student-t fit", train_j, lambda i: (keys[i], hist, weights))
+    timeit("trim + student-t fit", train_j, lambda i: (hist, weights))
 
-    modes = train_j(keys[0], hist, weights)
+    modes = train_j(hist, weights)
 
     # --- resample -----------------------------------------------------------
     dummy = single_cluster_model(N_DIM, 1, jnp.float32)
@@ -155,10 +157,11 @@ def main():
 
     def hgm_args(i):
         _, w_trim = trim_weights_mask(
-            weights, mask=hist.sample_mask(), ess=TRIM_ESS, bins=TRIM_BINS
+            weights.reshape(-1), mask=hist.sample_mask().reshape(-1),
+            ess=TRIM_ESS, bins=TRIM_BINS,
         )
         return (
-            keys[i], hist.flat_u(), w_trim, hist.sample_mask(),
+            keys[i], hist.flat_u(), w_trim, hist.sample_mask().reshape(-1),
             jnp.asarray(2 * N_DIM, jnp.int32), jnp.asarray(1.0, jnp.float32),
         )
 
@@ -175,7 +178,8 @@ def main():
     # is part of the same program; timing it eagerly per call would
     # measure the relay tunnel, not the kernel.
     _, w_trim_c = trim_weights_mask(
-        weights, mask=hist.sample_mask(), ess=TRIM_ESS, bins=TRIM_BINS
+        weights.reshape(-1), mask=hist.sample_mask().reshape(-1),
+        ess=TRIM_ESS, bins=TRIM_BINS,
     )
     w_sel, sel_idx = jax.jit(lambda w: jax.lax.top_k(w, 4096))(w_trim_c)
     u_sub = jax.jit(lambda X, i: X[i])(hist.flat_u(), sel_idx)
@@ -194,15 +198,17 @@ def main():
     predict_j = jax.jit(cluster_predict)
     timeit("cluster predict (history)", predict_j, lambda i: (model, hist.flat_u()))
 
-    def mode_stats_fn(k, h, w):
-        _, w_trim = trim_weights_mask(w, mask=h.sample_mask(), ess=TRIM_ESS, bins=TRIM_BINS)
+    def mode_stats_fn(h, w):
+        _, w_trim = trim_weights_mask(
+            w.reshape(-1), mask=h.sample_mask().reshape(-1),
+            ess=TRIM_ESS, bins=TRIM_BINS,
+        )
         lbl = cluster_predict(model, h.flat_u())
         return fit_mode_statistics(
-            k, h.flat_u(), w_trim, lbl, k_max=K_MAX,
-            n_resample=4 * N_PART, dof_fallback=DOF_FALLBACK,
+            h.flat_u(), w_trim, lbl, k_max=K_MAX, dof_fallback=DOF_FALLBACK
         )
     timeit("per-mode student-t (K=16)", jax.jit(mode_stats_fn),
-           lambda i: (keys[i], hist, weights), n=5)
+           lambda i: (hist, weights), n=5)
 
 
 if __name__ == "__main__":

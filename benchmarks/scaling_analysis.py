@@ -109,18 +109,25 @@ def _shape_bytes(shape_str):
 
 
 def collective_census(hlo_text):
-    """Count collectives in optimized HLO, grouped by (computation, kind).
+    """Count collectives in optimized HLO, grouped by computation.
 
-    Returns {computation_name: {kind: [count, bytes]}} plus loop nesting
-    info: computations whose name contains 'while' body markers.
+    Computation headers sit at column 0 (`%name (args) -> ... {` or
+    `ENTRY ...`); ops are indented. While-loop body/condition computations
+    are identified from `body=`/`condition=` references on `while` ops so
+    collectives executed once-per-trip can be reported separately.
+    Returns (per_comp, loop_comps).
     """
     per_comp = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    loop_comps = set()
     comp = "<module>"
     for line in hlo_text.splitlines():
-        m = re.match(r"^\s*(?:ENTRY\s+)?%?([\w.\-]+)\s*\([^)]*\)\s*->", line)
-        if m and ("{" in line or line.rstrip().endswith("{")):
-            comp = m.group(1)
-            continue
+        if line and not line[0].isspace():
+            m = re.match(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s*\(", line)
+            if m and line.rstrip().endswith("{"):
+                comp = m.group(1)
+                continue
+        for ref in re.findall(r"(?:body|condition)=%?([\w.\-]+)", line):
+            loop_comps.add(ref)
         cm = _COLLECTIVE_RE.match(line)
         if cm:
             shape, kind = cm.group(1), cm.group(2)
@@ -129,7 +136,7 @@ def collective_census(hlo_text):
             entry = per_comp[comp][kind]
             entry[0] += 1
             entry[1] += _shape_bytes(shape)
-    return per_comp
+    return per_comp, loop_comps
 
 
 def census_fused_iteration(n_devices, n_particles, clustering):
@@ -150,13 +157,13 @@ def census_fused_iteration(n_devices, n_particles, clustering):
     )
     compiled = lowered.compile()
     hlo = compiled.as_text()
-    census = collective_census(hlo)
+    census, loop_comps = collective_census(hlo)
 
     # Aggregate totals
     total = defaultdict(lambda: [0, 0])
     in_loops = defaultdict(lambda: [0, 0])
     for comp, kinds in census.items():
-        looped = "while" in comp or "body" in comp or "cond" in comp
+        looped = comp in loop_comps
         for kind, (cnt, nbytes) in kinds.items():
             total[kind][0] += cnt
             total[kind][1] += nbytes
@@ -247,7 +254,6 @@ def per_stage_timing(n_particles, n_devices, n_iters=6, clustering=False):
             lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a, x
         )
 
-    n_resample = max(64, 4 * cfg.n_particles)
     for _ in range(n_iters):
         core._ensure_capacity()
         t0 = time.time()
@@ -259,11 +265,11 @@ def per_stage_timing(n_particles, n_devices, n_iters=6, clustering=False):
 
         t0 = time.time()
         keep, w_trim = trim_weights_mask(
-            rw.weights, mask=core.hist.sample_mask(), ess=TRIM_ESS, bins=TRIM_BINS
+            rw.weights.reshape(-1), mask=core.hist.sample_mask().reshape(-1),
+            ess=TRIM_ESS, bins=TRIM_BINS,
         )
         modes = fit_global_mode(
-            core._next_key(), core.hist.flat_u(), w_trim,
-            n_resample=n_resample, dof_fallback=DOF_FALLBACK,
+            core.hist.flat_u(), w_trim, dof_fallback=DOF_FALLBACK
         )
         sync(modes)
         stages["train(global)"] += time.time() - t0

@@ -484,15 +484,22 @@ class SamplerCore:
         does not sit on the hot path.
         """
         logw, _ = compute_logw_and_logz(self.hist, 1.0)
-        valid = fetch(self.hist.sample_mask())
-        logw_np = fetch(logw)
+        valid = fetch(self.hist.sample_mask()).reshape(-1)
+        logw_np = fetch(logw).reshape(-1)
 
-        x = fetch(self.hist.flat_x())
-        u = fetch(self.hist.flat_u())
-        logl = fetch(self.hist.flat_logl())
+        # Host-side flattening of the (d, T, N) buffers into the canonical
+        # (S, d) sample order (t-major). Device code never does this
+        # transpose — it would break the particle-axis sharding.
+        def snd(arr):  # (B, T, N) -> (S, B)
+            a = np.moveaxis(fetch(arr), 0, -1)
+            return a.reshape(-1, a.shape[-1])
+
+        x = snd(self.hist.x)
+        u = snd(self.hist.u)
+        logl = fetch(self.hist.logl).reshape(-1)
         blobs = None
         if self.hist.blobs is not None:
-            blobs = fetch(self.hist.flat_blobs())
+            blobs = snd(self.hist.blobs)
 
         weights = np.exp(logw_np - np.max(logw_np[valid]))
         weights[~valid] = 0.0
@@ -537,8 +544,8 @@ class SamplerCore:
         """Full per-iteration history. Parity: state_manager.py:482-503."""
         t = int(self.hist.t)
         out = {
-            "u": fetch(self.hist.u[:t]),
-            "x": fetch(self.hist.x[:t]),
+            "u": np.moveaxis(fetch(self.hist.u[:, :t]), 0, -1),
+            "x": np.moveaxis(fetch(self.hist.x[:, :t]), 0, -1),
             "logl": fetch(self.hist.logl[:t]),
             "beta": np.asarray(self.hist.beta[:t]),
             "logz": np.asarray(self.hist.logz[:t]),
@@ -553,9 +560,11 @@ class SamplerCore:
             "iter": np.arange(1, t + 1),
         }
         if self.hist.blobs is not None:
-            out["blobs"] = fetch(self.hist.blobs[:t])
+            out["blobs"] = np.moveaxis(fetch(self.hist.blobs[:, :t]), 0, -1)
         logw, _ = compute_logw_and_logz(self.hist, 1.0)
-        out["logw"] = fetch(logw)[fetch(self.hist.sample_mask())]
+        out["logw"] = fetch(logw).reshape(-1)[
+            fetch(self.hist.sample_mask()).reshape(-1)
+        ]
         return out
 
     # ------------------------------------------------------------------

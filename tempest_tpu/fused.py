@@ -65,7 +65,6 @@ def _make_iteration_fn(
         n_candidates=cfg.n_candidates,
         have_blobs=cfg.blobs_dtype is not None,
     )
-    n_resample = max(64, 4 * cfg.n_particles)
     dummy_cluster = single_cluster_model(cfg.n_dim, k_max, cfg.dtype)
     warmup = make_warmup_kernel(
         log_likelihood_batch, prior_transform_batch, cfg.n_particles, cfg.n_dim, cfg.dtype
@@ -81,10 +80,10 @@ def _make_iteration_fn(
 
     def _mutate_branch(args):
         key, hist, cur, weights, model, fitted = args
-        k_train, k_res, k_mut = jax.random.split(key, 3)
-        keep_mask, w_trim = trim_weights_mask(
-            weights, mask=hist.sample_mask(), ess=TRIM_ESS, bins=TRIM_BINS
-        )
+        # k_train retained in the split so RNG streams stay stable across
+        # the round that removed resampling from the mode fits.
+        _k_train, k_res, k_mut = jax.random.split(key, 3)
+        N = cfg.n_particles
 
         # Geometry fits see only the top-train_max_points samples BY WEIGHT
         # once the history exceeds that size: the trimmed history carries
@@ -95,15 +94,33 @@ def _make_iteration_fn(
         # resampled subsample was measured to fool the BIC splitter into
         # splitting duplicated atoms and losing real modes.
         m_cap = cfg.train_max_points
-        S = hist.capacity * cfg.n_particles
-        if m_cap and m_cap < S:
-            w_fit, idx = jax.lax.top_k(w_trim, m_cap)
-            u_fit = hist.flat_u()[idx]
-            keep_fit = w_fit > 0.0
+        S = hist.capacity * N
+        if cfg.mesh is not None:
+            # Sharded path: per-shard top-k + merge (O(m) comm); the
+            # selection subsumes trimming — every weight that could
+            # survive the 0.99-ESS trim is inside the top-m by weight
+            # (see parallel/collective.py).
+            from .parallel.collective import sharded_select_fit_points
+
+            u_fit, w_fit, keep_fit = sharded_select_fit_points(
+                cfg.mesh, cfg.particle_axis, hist.u, weights, hist.t,
+                min(m_cap or S, S),
+            )
         else:
-            u_fit = hist.flat_u()
-            w_fit = w_trim
-            keep_fit = keep_mask
+            keep_mask, w_trim = trim_weights_mask(
+                weights.reshape(-1),
+                mask=hist.sample_mask().reshape(-1),
+                ess=TRIM_ESS,
+                bins=TRIM_BINS,
+            )
+            if m_cap and m_cap < S:
+                w_fit, idx = jax.lax.top_k(w_trim, m_cap)
+                u_fit = hist.u[:, idx // N, idx % N].T
+                keep_fit = w_fit > 0.0
+            else:
+                u_fit = hist.u.reshape(cfg.n_dim, -1).T
+                w_fit = w_trim
+                keep_fit = keep_mask
 
         if clustered:
             def do_fit(_):
@@ -136,24 +153,27 @@ def _make_iteration_fn(
                 )
             labels = cluster_predict(cluster_model, u_fit)
             modes = fit_mode_statistics(
-                k_train,
-                u_fit,
-                w_fit,
-                labels,
-                k_max=k_max,
-                n_resample=n_resample,
-                dof_fallback=DOF_FALLBACK,
+                u_fit, w_fit, labels, k_max=k_max, dof_fallback=DOF_FALLBACK
             )
         else:
             cluster_model = dummy_cluster
-            modes = fit_global_mode(
-                k_train, u_fit, w_fit,
-                n_resample=n_resample, dof_fallback=DOF_FALLBACK,
+            modes = fit_global_mode(u_fit, w_fit, dof_fallback=DOF_FALLBACK)
+        if cfg.mesh is not None:
+            from .parallel.collective import sharded_resample
+
+            u, x, logl, blobs = sharded_resample(
+                k_res, cfg.mesh, cfg.particle_axis, hist, weights,
+                cfg.n_particles, method=cfg.resample,
             )
-        u, x, logl, blobs, assignments = resample_step(
-            k_res, hist, weights, cluster_model, cfg.n_particles,
-            method=cfg.resample, clustering=clustered,
-        )
+            if clustered:
+                assignments = cluster_predict(cluster_model, u)
+            else:
+                assignments = jnp.zeros((cfg.n_particles,), dtype=jnp.int32)
+        else:
+            u, x, logl, blobs, assignments = resample_step(
+                k_res, hist, weights, cluster_model, cfg.n_particles,
+                method=cfg.resample, clustering=clustered,
+            )
         res = mcmc(k_mut, u, x, logl, blobs, assignments, cur.beta, modes)
         new_cur = cur.replace(
             u=res.u, x=res.x, logl=res.logl, blobs=res.blobs,
@@ -195,6 +215,7 @@ def _make_iteration_fn(
             cfg.ess_ratio * cfg.n_particles,
             cv_target=cfg.volume_variation or 0.0,
             dynamic=cfg.volume_variation is not None,
+            use_pallas=cfg.mesh is None,
         )
         is_first = hist.t == 0
         zero = jnp.asarray(0.0, cfg.dtype)

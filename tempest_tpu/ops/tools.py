@@ -163,6 +163,77 @@ def trim_weights_mask(
     return keep, w_keep
 
 
+def logsumexp_psum(logx: jnp.ndarray, axis_name: Optional[str] = None) -> jnp.ndarray:
+    """Logsumexp over ALL array axes plus (optionally) a mesh axis.
+
+    For shard_map bodies: each shard reduces its local block, then a pmax +
+    psum pair combines shards. axis_name=None degrades to plain logsumexp,
+    so the same numerics serve the unsharded path.
+    """
+    if axis_name is None:
+        return logsumexp(logx)
+    m = jnp.max(logx)
+    m = jax.lax.pmax(m, axis_name)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = jax.lax.psum(jnp.sum(jnp.exp(logx - m_safe)), axis_name)
+    out = m_safe + jnp.log(s)
+    return jnp.where(jnp.isfinite(m), out, m)
+
+
+def ess_from_logw_psum(logw: jnp.ndarray, axis_name: Optional[str] = None) -> jnp.ndarray:
+    """ESS from log-weights, reducing over shards when axis_name given."""
+    lse1 = logsumexp_psum(logw, axis_name)
+    lse2 = logsumexp_psum(2.0 * logw, axis_name)
+    return jnp.exp(2.0 * lse1 - lse2)
+
+
+def volume_variation_dtn(
+    u: jnp.ndarray,
+    w: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """`volume_variation` over the (d, T, N) history layout.
+
+    Same math as `volume_variation` (tools.py:58-117 in the reference) but
+    expressed as contractions over the (T, N) sample axes so the sharded
+    particle axis never needs to be flattened or gathered: every reduction
+    is local + (optionally) a psum of at most (d, d) values.
+    """
+    d = u.shape[0]
+    if mask is not None:
+        w = jnp.where(mask, w, 0.0)
+    w = w / _psum(jnp.sum(w), axis_name)
+
+    mean = _psum(jnp.einsum("dtn,tn->d", u, w), axis_name)  # (d,)
+    uc = u - mean[:, None, None]
+    if mask is not None:
+        uc = jnp.where(mask[None], uc, 0.0)
+    cov = _psum(jnp.einsum("dtn,etn,tn->de", uc, uc, w), axis_name)  # (d, d)
+
+    eigvals = jnp.linalg.eigvalsh(cov)
+    tol = jnp.max(jnp.abs(eigvals)) * d * jnp.finfo(u.dtype).eps
+    rank = jnp.sum(eigvals > tol)
+    reg = 1e-6 * jnp.trace(cov)
+    cov = jnp.where(rank < d, cov + jnp.eye(d, dtype=u.dtype) * reg, cov)
+
+    cov_inv = jnp.linalg.inv(cov)
+    # d2[t,n] = uc[:,t,n]^T cov_inv uc[:,t,n]
+    d2 = jnp.einsum("dtn,de,etn->tn", uc, cov_inv, uc)
+    deviation = jnp.clip(d2 - d, -1e6, 1e6)
+    cv = 0.5 * jnp.sqrt(_psum(jnp.sum(w * w * deviation * deviation), axis_name))
+
+    n_valid = _psum(
+        jnp.sum(mask) if mask is not None else jnp.asarray(w.size), axis_name
+    )
+    bad = (~jnp.isfinite(cv)) | (n_valid < d + 1) | (~jnp.all(jnp.isfinite(cov_inv)))
+    return jnp.where(bad, jnp.asarray(1e10, dtype=u.dtype), cv)
+
+
+def _psum(x, axis_name: Optional[str]):
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
 def volume_variation(
     x: jnp.ndarray,
     w: Optional[jnp.ndarray] = None,

@@ -37,9 +37,14 @@ def make_particle_mesh(
 
 
 def history_sharding(mesh: Mesh, axis_name: str = "particles"):
-    """PartitionSpecs for each History field (N axis sharded)."""
+    """PartitionSpecs for each History field (N axis sharded).
+
+    The coordinate buffers are (d, T_max, N) with N minor (state.py layout
+    notes); the particle axis is the last dimension there and the last
+    dimension of the (T_max, N) scalar buffers.
+    """
     pdim = NamedSharding(mesh, P(None, axis_name))  # (T_max, N)
-    pdim3 = NamedSharding(mesh, P(None, axis_name, None))  # (T_max, N, d)
+    pdim3 = NamedSharding(mesh, P(None, None, axis_name))  # (d, T_max, N)
     rep = NamedSharding(mesh, P())  # per-iteration scalars replicated
     return History(
         u=pdim3, x=pdim3, logl=pdim, mis_c=pdim,

@@ -3,16 +3,30 @@
 TPU-native redesign of the reference StateManager
 (/root/reference/tempest/state_manager.py:52-685). Where the reference keeps
 Python lists of per-iteration arrays, we keep rectangular device buffers
-``(T_max, N, ...)`` with an iteration counter ``t``; slots ``>= t`` are
-masked out of every computation. This keeps all shapes static under jit and
-lets the whole history live sharded on-device (particle axis = mesh axis).
-Capacity grows geometrically outside jit when full (one recompile per
-doubling, amortized away).
+with an iteration counter ``t``; slots ``>= t`` are masked out of every
+computation. This keeps all shapes static under jit and lets the whole
+history live sharded on-device (particle axis = mesh axis).
+
+Buffer layout (chosen for TPU tiling and SPMD sharding):
+
+- coordinates ``u``/``x`` are ``(d, T_max, N)`` — the particle axis N is the
+  *minor* dimension (tiled to 128 lanes, which a sharded particle axis
+  satisfies by construction) and T_max the second-to-minor (tiled to 8,
+  satisfied by the power-of-two capacities). A ``(T, N, d)`` layout would
+  pad d to 128 lanes and physically cost 12.8x its logical bytes at d=10.
+- scalars-per-sample ``logl``/``mis_c`` are ``(T_max, N)``.
+- log-weights and weights on the hot path are ``(T_max, N)`` as well.
+  Nothing on the device path ever reshapes ``(T, N)`` into ``(T*N,)``:
+  merging the sharded minor axis with the replicated T axis produces an
+  interleaved order XLA cannot express as a sharding, forcing a full
+  all-gather of the history on every use (measured: ~18 MB of all-gathers
+  per iteration before this layout).
 
 The mathematical heart of Persistent Sampling — the multiple-importance-
 sampling (balance heuristic) weight computation (state_manager.py:418-480) —
-is `compute_logw_and_logz` below, a single fused masked matrix + logsumexp
-that XLA maps onto the VPU/MXU.
+is `compute_logw_and_logz` below, a fused masked computation that XLA maps
+onto the VPU and, under a sharded particle axis, lowers to per-shard
+reductions plus psum.
 """
 
 from __future__ import annotations
@@ -30,8 +44,8 @@ from .ops.tools import logsumexp
 class History:
     """Rectangular particle history. Valid iterations: [0, t)."""
 
-    u: jnp.ndarray  # (T_max, N, d) unit-hypercube coordinates
-    x: jnp.ndarray  # (T_max, N, d) physical coordinates
+    u: jnp.ndarray  # (d, T_max, N) unit-hypercube coordinates
+    x: jnp.ndarray  # (d, T_max, N) physical coordinates
     logl: jnp.ndarray  # (T_max, N) log-likelihoods
     # Running MIS-denominator accumulator, maintained by commit():
     #   mis_c[t', s] = logsumexp_{t <= T} (beta_t * logl[t', s] - logZ_t)
@@ -41,7 +55,7 @@ class History:
     # computation is O(S) instead of O(S*T) (state_manager.py:466-471
     # rebuilds the full matrix each time).
     mis_c: jnp.ndarray  # (T_max, N)
-    blobs: Optional[jnp.ndarray]  # (T_max, N, B) auxiliary outputs or None
+    blobs: Optional[jnp.ndarray]  # (B, T_max, N) auxiliary outputs or None
     beta: jnp.ndarray  # (T_max,) inverse temperature per iteration
     logz: jnp.ndarray  # (T_max,) evidence estimate per iteration
     ess: jnp.ndarray  # (T_max,)
@@ -61,29 +75,39 @@ class History:
     # ------------------------------------------------------------------
     @property
     def capacity(self) -> int:
-        return self.u.shape[0]
-
-    @property
-    def n_particles(self) -> int:
         return self.u.shape[1]
 
     @property
-    def n_dim(self) -> int:
+    def n_particles(self) -> int:
         return self.u.shape[2]
+
+    @property
+    def n_dim(self) -> int:
+        return self.u.shape[0]
+
+    @property
+    def blob_size(self) -> Optional[int]:
+        return None if self.blobs is None else self.blobs.shape[0]
 
     def iter_mask(self) -> jnp.ndarray:
         """(T_max,) bool — which iteration slots are valid."""
         return jnp.arange(self.capacity) < self.t
 
     def sample_mask(self) -> jnp.ndarray:
-        """(T_max*N,) bool — which flattened history samples are valid."""
-        return jnp.repeat(self.iter_mask(), self.n_particles, total_repeat_length=self.capacity * self.n_particles)
+        """(T_max, N) bool — which history samples are valid."""
+        return jnp.broadcast_to(
+            self.iter_mask()[:, None], (self.capacity, self.n_particles)
+        )
 
+    # -- flat canonical-order views (host/analysis convenience ONLY) -------
+    # These materialize a transposed copy and, on a sharded history, force
+    # an all-gather: never call them on the device hot path (use
+    # gather_history / the (T, N)-shaped math instead).
     def flat_u(self) -> jnp.ndarray:
-        return self.u.reshape(-1, self.n_dim)
+        return jnp.moveaxis(self.u, 0, -1).reshape(-1, self.n_dim)
 
     def flat_x(self) -> jnp.ndarray:
-        return self.x.reshape(-1, self.n_dim)
+        return jnp.moveaxis(self.x, 0, -1).reshape(-1, self.n_dim)
 
     def flat_logl(self) -> jnp.ndarray:
         return self.logl.reshape(-1)
@@ -91,7 +115,24 @@ class History:
     def flat_blobs(self) -> Optional[jnp.ndarray]:
         if self.blobs is None:
             return None
-        return self.blobs.reshape(self.capacity * self.n_particles, -1)
+        return jnp.moveaxis(self.blobs, 0, -1).reshape(-1, self.blobs.shape[0])
+
+
+def gather_history(
+    hist: History, t_idx: jnp.ndarray, n_idx: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """Gather (u, x, logl, blobs) rows for sample coordinates (t, n).
+
+    Returns u/x as (k, d) and blobs as (k, B). Single-program gather for
+    the unsharded path; the sharded path uses the claim-based collective
+    gather in parallel/collective.py instead (an all-to-all-sized psum
+    rather than a full-history all-gather).
+    """
+    u = hist.u[:, t_idx, n_idx].T  # (k, d)
+    x = hist.x[:, t_idx, n_idx].T
+    logl = hist.logl[t_idx, n_idx]
+    blobs = None if hist.blobs is None else hist.blobs[:, t_idx, n_idx].T
+    return u, x, logl, blobs
 
 
 def make_history(
@@ -106,10 +147,10 @@ def make_history(
     f = lambda *shape: jnp.zeros(shape, dtype=dtype)
     blobs = None
     if blob_size is not None:
-        blobs = jnp.zeros((capacity, n_particles, blob_size), dtype=blobs_dtype or dtype)
+        blobs = jnp.zeros((blob_size, capacity, n_particles), dtype=blobs_dtype or dtype)
     return History(
-        u=f(capacity, n_particles, n_dim),
-        x=f(capacity, n_particles, n_dim),
+        u=f(n_dim, capacity, n_particles),
+        x=f(n_dim, capacity, n_particles),
         logl=jnp.full((capacity, n_particles), -jnp.inf, dtype=dtype),
         mis_c=jnp.full((capacity, n_particles), -jnp.inf, dtype=dtype),
         blobs=blobs,
@@ -130,16 +171,19 @@ def grow_history(hist: History, new_capacity: int) -> History:
     cap = hist.capacity
     assert new_capacity > cap
 
-    def pad(arr, fill=0.0):
-        pad_shape = (new_capacity - cap,) + arr.shape[1:]
-        return jnp.concatenate([arr, jnp.full(pad_shape, fill, dtype=arr.dtype)], axis=0)
+    def pad(arr, fill=0.0, axis=0):
+        pad_shape = list(arr.shape)
+        pad_shape[axis] = new_capacity - cap
+        return jnp.concatenate(
+            [arr, jnp.full(tuple(pad_shape), fill, dtype=arr.dtype)], axis=axis
+        )
 
     return History(
-        u=pad(hist.u),
-        x=pad(hist.x),
+        u=pad(hist.u, axis=1),
+        x=pad(hist.x, axis=1),
         logl=pad(hist.logl, -jnp.inf),
         mis_c=pad(hist.mis_c, -jnp.inf),
-        blobs=None if hist.blobs is None else pad(hist.blobs),
+        blobs=None if hist.blobs is None else pad(hist.blobs, axis=1),
         beta=pad(hist.beta),
         logz=pad(hist.logz),
         ess=pad(hist.ess),
@@ -246,12 +290,12 @@ def commit(hist: History, cur: Current) -> History:
     t = hist.t
     return hist.replace(
         mis_c=_mis_c_after_commit(hist, cur),
-        u=jax.lax.dynamic_update_index_in_dim(hist.u, cur.u, t, 0),
-        x=jax.lax.dynamic_update_index_in_dim(hist.x, cur.x, t, 0),
+        u=jax.lax.dynamic_update_index_in_dim(hist.u, cur.u.T, t, 1),
+        x=jax.lax.dynamic_update_index_in_dim(hist.x, cur.x.T, t, 1),
         logl=jax.lax.dynamic_update_index_in_dim(hist.logl, cur.logl, t, 0),
         blobs=None
         if hist.blobs is None
-        else jax.lax.dynamic_update_index_in_dim(hist.blobs, cur.blobs, t, 0),
+        else jax.lax.dynamic_update_index_in_dim(hist.blobs, cur.blobs.T, t, 1),
         beta=hist.beta.at[t].set(cur.beta),
         logz=hist.logz.at[t].set(cur.logz),
         ess=hist.ess.at[t].set(cur.ess),
@@ -275,36 +319,41 @@ def mis_denominator(hist: History) -> jnp.ndarray:
 
     Reads the accumulator maintained by commit() (History.mis_c) instead of
     rebuilding the (S x T) matrix the reference constructs for every
-    evaluation (state_manager.py:466-471).
+    evaluation (state_manager.py:466-471). Shape: (T_max, N).
     """
     log_T = jnp.log(jnp.maximum(hist.t, 1).astype(hist.logl.dtype))
-    return hist.mis_c.reshape(-1) - log_T
+    return hist.mis_c - log_T
 
 
 def mis_denominator_exact(hist: History) -> jnp.ndarray:
-    """Full-matrix O(S*T) denominator — reference formulation.
+    """Full-matrix O(S*T) denominator — reference formulation. (T_max, N).
 
     Used to (re)build History.mis_c (e.g. for checkpoints written before
-    the accumulator existed) and as the ground truth in tests.
+    the accumulator existed) and as the ground truth in tests. Computed as
+    a scan over committed rows so peak memory stays O(N*T) instead of
+    O(N*T^2).
     """
     it_mask = hist.iter_mask()  # (T_max,)
-    logl = hist.flat_logl()  # (T_max*N,)
     # log(n_t / N_total) = log(N) - log(t*N) = -log(t)
     log_mix = jnp.where(
         it_mask, -jnp.log(jnp.maximum(hist.t, 1).astype(hist.logl.dtype)), -jnp.inf
     )
-    # b[s, t] = beta_t * logl_s - logZ_t + log_mix_t. Invalid columns are
-    # forced to -inf BEFORE the logsumexp: uninitialized slots have
-    # beta_t = 0 and logl_s = -inf, whose product is NaN otherwise.
-    b = logl[:, None] * hist.beta[None, :] - hist.logz[None, :] + log_mix[None, :]
-    b = jnp.where(it_mask[None, :], b, -jnp.inf)
-    return logsumexp(b, axis=1)  # (T_max*N,)
+
+    def row(logl_row):
+        # b[n, t] = beta_t * logl_row_n - logZ_t + log_mix_t, invalid
+        # columns forced to -inf BEFORE the logsumexp (uninitialized slots
+        # have beta_t = 0 and logl = -inf whose product is NaN otherwise).
+        b = logl_row[:, None] * hist.beta[None, :] - hist.logz[None, :] + log_mix[None, :]
+        b = jnp.where(it_mask[None, :], b, -jnp.inf)
+        return logsumexp(b, axis=1)  # (N,)
+
+    return jax.lax.map(row, hist.logl)  # (T_max, N)
 
 
 def rebuild_mis_c(hist: History) -> History:
     """Recompute the accumulator from scratch (checkpoint compatibility)."""
     log_T = jnp.log(jnp.maximum(hist.t, 1).astype(hist.logl.dtype))
-    c = (mis_denominator_exact(hist) + log_T).reshape(hist.logl.shape)
+    c = mis_denominator_exact(hist) + log_T
     c = jnp.where(hist.iter_mask()[:, None], c, -jnp.inf)
     return hist.replace(mis_c=c)
 
@@ -312,13 +361,12 @@ def rebuild_mis_c(hist: History) -> History:
 def logw_from_denominator(
     hist: History, denom: jnp.ndarray, beta_final, normalize: bool = True
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Log-weights and logZ at `beta_final` given a precomputed denominator.
+    """Log-weights (T_max, N) and logZ at `beta_final` given a denominator.
 
     logw_s = beta_final * logl_s - B_s;  logz = logsumexp_s(logw_s) - log(N).
     O(T_max*N) — the cheap, beta-dependent half of the MIS computation.
     """
     _, N = hist.logl.shape
-    logl = hist.flat_logl()
     s_mask = hist.sample_mask()
     n_total = (hist.t * N).astype(hist.logl.dtype)
 
@@ -329,7 +377,7 @@ def logw_from_denominator(
     # warm-up patch keeps -inf out of committed history in normal runs —
     # mutate.py:124-148 in the reference — this is defense in depth.)
     logw = jnp.where(
-        s_mask & jnp.isfinite(logl), beta_final * logl - denom, -jnp.inf
+        s_mask & jnp.isfinite(hist.logl), beta_final * hist.logl - denom, -jnp.inf
     )
     logz_new = logsumexp(logw) - jnp.log(jnp.maximum(n_total, 1.0))
     logz_new = jnp.where(hist.t > 0, logz_new, -jnp.inf)
@@ -351,9 +399,8 @@ def compute_logw_and_logz(
                  - logsumexp_t[ log(n_t/N) + beta_t * logl_s - logZ_t ]
         logz   = logsumexp_s(logw_s) - log(N)
 
-    Computed as one masked (T_max*N, T_max) matrix: invalid iterations get
-    -inf mixture weight, invalid samples get -inf logw. Fixed shapes; under
-    a sharded particle axis the row-wise logsumexp is local and the final
-    reductions lower to psum over the mesh.
+    Returns logw with shape (T_max, N); invalid iterations get -inf. All
+    shapes fixed; under a sharded particle axis the reductions lower to
+    psum over the mesh.
     """
     return logw_from_denominator(hist, mis_denominator(hist), beta_final, normalize)

@@ -26,13 +26,13 @@ from ..config import (
     METRIC_ATOL,
     METRIC_ATOL_CV,
 )
-from ..ops.tools import ess_from_logw, volume_variation
+from ..ops.tools import ess_from_logw, volume_variation_dtn
 from ..state import History, logw_from_denominator, mis_denominator
 
 
 class ReweightResult(NamedTuple):
     beta: jnp.ndarray  # () new inverse temperature
-    weights: jnp.ndarray  # (T_max*N,) normalized importance weights (masked)
+    weights: jnp.ndarray  # (T_max, N) normalized importance weights (masked)
     ess: jnp.ndarray  # () effective sample size at beta
     cv: jnp.ndarray  # () volume variation at beta
     logz: jnp.ndarray  # () evidence estimate at beta
@@ -52,7 +52,6 @@ def _make_metric_fns(hist: History, dynamic: bool, denom: jnp.ndarray):
     O(N_hist) evaluation (the reference rebuilds the full matrix per probe,
     reweight.py:88-118)."""
     s_mask = hist.sample_mask()
-    flat_u = hist.flat_u()
 
     def ess_at(beta):
         logw, _ = logw_from_denominator(hist, denom, beta)
@@ -63,7 +62,7 @@ def _make_metric_fns(hist: History, dynamic: bool, denom: jnp.ndarray):
         ess = ess_from_logw(logw)
         if dynamic:
             w = jnp.exp(logw)
-            metric = volume_variation(flat_u, w, mask=s_mask)
+            metric = volume_variation_dtn(hist.u, w, mask=s_mask)
         else:
             metric = ess
         return metric, ess
@@ -156,13 +155,14 @@ def _find_beta_bisection(metric_at, beta_min, beta_max, target, dynamic: bool):
     return out["beta"]
 
 
-@partial(jax.jit, static_argnames=("dynamic",))
+@partial(jax.jit, static_argnames=("dynamic", "use_pallas"))
 def reweight(
     hist: History,
     beta_prev: jnp.ndarray,
     ess_target: float,
     cv_target: float = 0.0,
     dynamic: bool = False,
+    use_pallas: bool = True,
 ) -> ReweightResult:
     """Select the next inverse temperature and compute MIS weights.
 
@@ -189,12 +189,15 @@ def reweight(
         # ESS is already at/below target, jump when ESS(1) >= target).
         from ..ops.pallas_reweight import ess_bisect_beta, pallas_supported
 
-        if pallas_supported(hist.logl.size, hist.logl.dtype):
+        if use_pallas and pallas_supported(hist.logl.size, hist.logl.dtype):
             # Entire bisection in one VMEM-resident TPU kernel: logl and
             # the masked denominator load once; every probe is on-chip.
+            # (Single-chip only: callers pass use_pallas=False when the
+            # history is mesh-sharded — the flatten below would force an
+            # all-gather.)
             bm = jnp.where(hist.sample_mask(), denom, jnp.inf)
             beta = ess_bisect_beta(
-                hist.flat_logl(), bm, beta_prev, ess_target
+                hist.logl.reshape(-1), bm.reshape(-1), beta_prev, ess_target
             ).astype(dtype)
         else:
             one = jnp.asarray(1.0, dtype)
@@ -230,5 +233,5 @@ def reweight(
     logw, logz = logw_from_denominator(hist, denom, beta)
     weights = jnp.exp(logw)  # normalized; masked entries are exp(-inf) = 0
     ess = ess_from_logw(logw)
-    cv = volume_variation(hist.flat_u(), weights, mask=hist.sample_mask())
+    cv = volume_variation_dtn(hist.u, weights, mask=hist.sample_mask())
     return ReweightResult(beta=beta, weights=weights, ess=ess, cv=cv, logz=logz)

@@ -55,10 +55,6 @@ class Trainer:
         self.dof_fallback = dof_fallback
         self.dtype = dtype
         self.train_max_points = train_max_points
-        # Fixed per-mode resample size for the Student-t fits. The reference
-        # resamples each cluster to 4x its member count (modes.py:196-205);
-        # a fixed size keeps shapes static under jit (see modes.py here).
-        self.n_resample = max(64, resample_factor * n_particles)
         self.clusterer = None
         if clustering:
             self.clusterer = HierarchicalGaussianMixture(
@@ -88,20 +84,25 @@ class Trainer:
 
         Parity: train.py:65-127. Caller handles the beta=0 dummy-stats path.
         """
+        N = hist.n_particles
+        S = hist.capacity * N
         keep_mask, w_trim = trim_weights_mask(
-            weights, mask=hist.sample_mask(), ess=TRIM_ESS, bins=TRIM_BINS
+            weights.reshape(-1),
+            mask=hist.sample_mask().reshape(-1),
+            ess=TRIM_ESS,
+            bins=TRIM_BINS,
         )
-        u_flat = hist.flat_u()
 
         # Top-by-weight selection for the geometry fits (see config
         # train_max_points and the same logic in fused._mutate_branch).
         m_cap = self.train_max_points
-        if m_cap and m_cap < u_flat.shape[0]:
+        if m_cap and m_cap < S:
             w_fit, idx = jax.lax.top_k(w_trim, m_cap)
-            u_fit = u_flat[idx]
+            u_fit = hist.u[:, idx // N, idx % N].T
             keep_fit = w_fit > 0.0
         else:
-            u_fit, w_fit, keep_fit = u_flat, w_trim, keep_mask
+            u_fit = hist.u.reshape(self.n_dim, -1).T  # (S, d)
+            w_fit, keep_fit = w_trim, keep_mask
 
         if self.clustering:
             refit = iteration % self.cluster_every == 0 or iteration == 0
@@ -112,14 +113,6 @@ class Trainer:
             # (T*N,) label array through the host on every iteration.
             labels = cluster_predict(self._model, u_fit)
             return fit_mode_statistics(
-                key,
-                u_fit,
-                w_fit,
-                labels,
-                k_max=self.k_max,
-                n_resample=self.n_resample,
-                dof_fallback=self.dof_fallback,
+                u_fit, w_fit, labels, k_max=self.k_max, dof_fallback=self.dof_fallback
             )
-        return fit_global_mode(
-            key, u_fit, w_fit, n_resample=self.n_resample, dof_fallback=self.dof_fallback
-        )
+        return fit_global_mode(u_fit, w_fit, dof_fallback=self.dof_fallback)

@@ -77,7 +77,7 @@ def _log_minus_digamma(x):
     return jnp.where(x > 20.0, series, direct)
 
 
-def _nu_objective(log_nu, delta, dim, n):
+def _nu_objective(log_nu, delta, dim, wbar):
     """Digamma stationarity equation of the nu M-step (student.py:40-52).
 
     Algebraically identical to the reference's
@@ -87,10 +87,14 @@ def _nu_objective(log_nu, delta, dim, n):
     with e = (dim - delta)/(nu + delta) (exact even when w ~ 1), and the
     digamma terms via the cancellation-free _log_minus_digamma. Vectorized
     over a leading axis of log_nu candidates; delta is (n,).
+
+    `wbar` are normalized sample weights (sum 1): the equal-weight case
+    passes the scalar 1/n, the weighted Student-t fit passes true weights
+    (the mean over samples becomes a weighted mean).
     """
     nu = jnp.exp(log_nu)[..., None]  # (..., 1)
     e = (dim - delta) / (nu + delta)  # (..., n);  w = 1 + e
-    data_term = jnp.sum(jnp.log1p(e) - e, axis=-1) / n
+    data_term = jnp.sum(wbar * (jnp.log1p(e) - e), axis=-1)
     nu = nu[..., 0]
     return (
         _log_minus_digamma(nu / 2.0)
@@ -99,13 +103,13 @@ def _nu_objective(log_nu, delta, dim, n):
     )
 
 
-def _opt_nu(delta: jnp.ndarray, dim: int, n: int) -> jnp.ndarray:
+def _opt_nu(delta: jnp.ndarray, dim: int, wbar) -> jnp.ndarray:
     """Solve for nu; returns +inf when the Gaussian limit is optimal.
 
     f decreases from +inf at nu->0 to f(hi); a 16-way multisection keeps
     the sign change: lo stays at the last interior point with f > 0.
     """
-    f_hi = _nu_objective(jnp.asarray(_NU_LOG_HI, delta.dtype), delta, dim, n)
+    f_hi = _nu_objective(jnp.asarray(_NU_LOG_HI, delta.dtype), delta, dim, wbar)
     is_inf = f_hi >= 0.0
 
     fracs = (jnp.arange(1, _NU_SPLIT, dtype=delta.dtype)) / _NU_SPLIT  # (15,)
@@ -113,7 +117,7 @@ def _opt_nu(delta: jnp.ndarray, dim: int, n: int) -> jnp.ndarray:
     def body(_, bounds):
         lo, hi = bounds
         mids = lo + (hi - lo) * fracs  # (15,) ascending
-        fm = _nu_objective(mids, delta, dim, n)  # (15,)
+        fm = _nu_objective(mids, delta, dim, wbar)  # (15,)
         count = jnp.sum(fm > 0.0)  # first `count` points have f > 0
         grid = jnp.concatenate([lo[None], mids, hi[None]])  # (17,)
         return grid[count], grid[count + 1]
@@ -161,7 +165,7 @@ def fit_mvstud(
         sol = jax.scipy.linalg.cho_solve((L, True), diffs.T)  # (dim, n)
         delta = jnp.sum(diffs.T * sol, axis=0)  # (n,)
 
-        nu_new = _opt_nu(delta, dim, n)
+        nu_new = _opt_nu(delta, dim, 1.0 / n)
         now_inf = ~jnp.isfinite(nu_new)
 
         w = (nu_new + dim) / (nu_new + delta)  # (n,)
@@ -170,6 +174,90 @@ def fit_mvstud(
 
         # On the Gaussian-limit exit the reference returns the *current*
         # (mu, Sigma) before this iteration's M-step (student.py:92-94).
+        mu_out = jnp.where(now_inf, mu, mu_new)
+        Sigma_out = jnp.where(now_inf, Sigma, Sigma_new)
+        return (mu_out, Sigma_out, nu_new, nu, i + 1, now_inf)
+
+    init = (mu0, Sigma0, nu0, jnp.asarray(0.0, fdtype), jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    mu, Sigma, nu, _, _, _ = jax.lax.while_loop(cond, body, init)
+
+    Sigma, _ = _ensure_pd(Sigma)
+    return mu, Sigma, nu
+
+
+def _weighted_median(data: jnp.ndarray, wbar: jnp.ndarray) -> jnp.ndarray:
+    """Per-dimension weighted median of (n, d) data with normalized weights.
+
+    Reduces to the (lower) sample median at uniform weights — the robust
+    location init the reference uses (student.py:60)."""
+    order = jnp.argsort(data, axis=0)  # (n, d)
+    w_sorted = wbar[order]  # (n, d)
+    cum = jnp.cumsum(w_sorted, axis=0)
+    # first index with cumulative weight >= 1/2
+    idx = jnp.argmax(cum >= 0.5 - 1e-7, axis=0)  # (d,)
+    return jnp.take_along_axis(
+        jnp.take_along_axis(data, order, axis=0), idx[None, :], axis=0
+    )[0]
+
+
+@jax.jit
+def fit_mvstud_weighted(
+    data: jnp.ndarray,
+    weights: jnp.ndarray,
+    tolerance: float = 1e-6,
+    max_iter: int = 100,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Weighted multivariate Student-t EM. data (n, dim), weights (n,).
+
+    Sufficient-statistics generalization of `fit_mvstud`: every sample mean
+    in the EM (the E-step responsibilities, the mu/Sigma M-steps, and the
+    digamma stationarity equation of the nu M-step) becomes a weighted mean
+    under the normalized `weights`. At uniform weights this reproduces
+    `fit_mvstud` exactly; for importance-weighted particles it fits the
+    same target the reference approaches by resampling each cluster to 4x
+    its member count and fitting unweighted (modes.py:196-205) — without
+    the resampling noise and without materializing the enlarged sample.
+
+    Returns (mu, Sigma, nu); nu == +inf signals the Gaussian limit.
+    """
+    data = jnp.asarray(data)
+    weights = jnp.asarray(weights, data.dtype)
+    n, dim = data.shape
+    fdtype = data.dtype
+
+    total = jnp.sum(weights)
+    wbar = weights / jnp.where(total > 0, total, 1.0)  # (n,), sums to 1
+    # Effective sample count: plays n's role in the covariance-ridge init.
+    n_eff = 1.0 / jnp.maximum(jnp.sum(wbar * wbar), jnp.finfo(fdtype).tiny)
+
+    mu0 = _weighted_median(data, wbar)
+    wmean = jnp.sum(wbar[:, None] * data, axis=0)
+    xc = data - wmean
+    cov_w = (xc.T * wbar) @ xc
+    var_w = jnp.sum(wbar[:, None] * xc * xc, axis=0)
+    Sigma0 = cov_w + jnp.diag(var_w) / n_eff
+    nu0 = jnp.asarray(20.0, fdtype)
+
+    def cond(carry):
+        mu, Sigma, nu, last_nu, i, hit_inf = carry
+        tol = tolerance * jnp.maximum(1.0, jnp.abs(nu))
+        return (jnp.abs(last_nu - nu) > tol) & (i < max_iter) & (~hit_inf)
+
+    def body(carry):
+        mu, Sigma, nu, last_nu, i, hit_inf = carry
+        Sigma, L = _ensure_pd(Sigma)
+        diffs = data - mu  # (n, dim)
+        sol = jax.scipy.linalg.cho_solve((L, True), diffs.T)  # (dim, n)
+        delta = jnp.sum(diffs.T * sol, axis=0)  # (n,)
+
+        nu_new = _opt_nu(delta, dim, wbar)
+        now_inf = ~jnp.isfinite(nu_new)
+
+        g = (nu_new + dim) / (nu_new + delta)  # (n,) E-step scale
+        wg = wbar * g
+        Sigma_new = (diffs.T * wg) @ diffs  # sum wbar_i g_i d d^T (sum wbar = 1)
+        mu_new = jnp.sum(wg[:, None] * data, axis=0) / jnp.sum(wg)
+
         mu_out = jnp.where(now_inf, mu, mu_new)
         Sigma_out = jnp.where(now_inf, Sigma, Sigma_new)
         return (mu_out, Sigma_out, nu_new, nu, i + 1, now_inf)

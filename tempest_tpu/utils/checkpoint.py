@@ -23,7 +23,9 @@ import numpy as np
 from ..state import Current, History
 from .host import fetch, is_primary, sync
 
-_FORMAT_VERSION = 1
+# v2: History coordinate buffers stored (d, T, N) / (B, T, N) (was
+# (T, N, d) / (T, N, B) in v1) — see state.py layout notes.
+_FORMAT_VERSION = 2
 
 
 def _flatten_with_paths(tree, prefix):
@@ -92,14 +94,20 @@ def load_checkpoint(
         payload = json.loads(str(data["__meta__"]))
         get = lambda name: jnp.asarray(data[name])
         has_blobs = payload["has_blobs"]
+        legacy_layout = payload.get("format_version", 1) < 2
+
+        def get_tdn(name):
+            """History coordinate buffer, migrating v1 (T, N, B) files."""
+            arr = get(name)
+            return jnp.moveaxis(arr, -1, 0) if legacy_layout else arr
 
         hist = History(
-            u=get("hist.u"),
-            x=get("hist.x"),
+            u=get_tdn("hist.u"),
+            x=get_tdn("hist.x"),
             logl=get("hist.logl"),
             # Accumulator added later than format v1: rebuild if absent.
             mis_c=get("hist.mis_c") if "hist.mis_c" in data else None,
-            blobs=get("hist.blobs") if has_blobs else None,
+            blobs=get_tdn("hist.blobs") if has_blobs else None,
             beta=get("hist.beta"),
             logz=get("hist.logz"),
             ess=get("hist.ess"),

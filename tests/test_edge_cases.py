@@ -169,7 +169,7 @@ class TestBoundaryConditions:
         s.run(n_total=256, progress=False)
         assert s.beta == 1.0
         u_hist = np.asarray(s.state.hist.flat_u())
-        valid = np.asarray(s.state.hist.sample_mask())
+        valid = np.asarray(s.state.hist.sample_mask()).reshape(-1)
         assert (u_hist[valid] >= 0).all() and (u_hist[valid] <= 1).all()
         # posterior mass concentrates near the wrap point 0/2*pi
         x, w, _ = s.posterior()
@@ -190,7 +190,7 @@ class TestBoundaryConditions:
         s.run(n_total=128, progress=False)
         assert s.beta == 1.0
         u_hist = np.asarray(s.state.hist.flat_u())
-        valid = np.asarray(s.state.hist.sample_mask())
+        valid = np.asarray(s.state.hist.sample_mask()).reshape(-1)
         assert (u_hist[valid] >= 0).all() and (u_hist[valid] <= 1).all()
 
     def test_mixed_boundaries(self):

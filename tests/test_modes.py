@@ -55,7 +55,7 @@ class TestFitting:
         rng = np.random.default_rng(0)
         u = jnp.asarray(0.5 + 0.05 * rng.standard_normal((1000, 2)))
         w = jnp.ones(1000)
-        ms = fit_global_mode(jax.random.PRNGKey(0), u, w, n_resample=2000)
+        ms = fit_global_mode(u, w)
         assert int(ms.n_modes()) == 1
         np.testing.assert_allclose(np.array(ms.means[0]), [0.5, 0.5], atol=0.02)
         assert np.all(np.diag(np.array(ms.covariances[0])) < 0.02)
@@ -67,7 +67,7 @@ class TestFitting:
         b = 0.8 + 0.01 * rng.standard_normal((500, 2))
         u = jnp.asarray(np.concatenate([a, b]))
         w = jnp.concatenate([jnp.ones(500), jnp.zeros(500)])
-        ms = fit_global_mode(jax.random.PRNGKey(1), u, w, n_resample=1000)
+        ms = fit_global_mode(u, w)
         np.testing.assert_allclose(np.array(ms.means[0]), [0.2, 0.2], atol=0.02)
 
     def test_per_cluster_fit(self):
@@ -79,9 +79,7 @@ class TestFitting:
         labels = jnp.concatenate(
             [jnp.zeros(400, jnp.int32), jnp.ones(400, jnp.int32)]
         )
-        ms = fit_mode_statistics(
-            jax.random.PRNGKey(2), u, w, labels, k_max=4, n_resample=800
-        )
+        ms = fit_mode_statistics(u, w, labels, k_max=4)
         assert int(ms.n_modes()) == 2
         np.testing.assert_allclose(np.array(ms.means[0]), [0.2, 0.2], atol=0.02)
         np.testing.assert_allclose(np.array(ms.means[1]), [0.8, 0.8], atol=0.02)
@@ -91,9 +89,7 @@ class TestFitting:
     def test_dof_fallback_for_gaussian(self):
         rng = np.random.default_rng(3)
         u = jnp.asarray(0.5 + 0.02 * rng.standard_normal((2000, 2)))
-        ms = fit_global_mode(
-            jax.random.PRNGKey(3), u, jnp.ones(2000), n_resample=2000, dof_fallback=1e6
-        )
+        ms = fit_global_mode(u, jnp.ones(2000), dof_fallback=1e6)
         dof = float(ms.degrees_of_freedom[0])
         assert np.isfinite(dof)  # inf replaced by fallback
 
@@ -132,10 +128,7 @@ class TestModeStatisticsExtra:
         w = jnp.asarray(np.r_[np.ones(200), np.zeros(200)] / 200, jnp.float32)
         labels = jnp.asarray(np.r_[np.zeros(100), np.ones(100),
                                    rng.integers(0, 2, 200)], jnp.int32)
-        ms = fit_mode_statistics(
-            jax.random.PRNGKey(0), u, w, labels, k_max=2,
-            n_resample=256, dof_fallback=1e6,
-        )
+        ms = fit_mode_statistics(u, w, labels, k_max=2, dof_fallback=1e6)
         np.testing.assert_allclose(np.asarray(ms.means[0]), 0.3, atol=0.03)
         np.testing.assert_allclose(np.asarray(ms.means[1]), 0.7, atol=0.03)
 

@@ -46,7 +46,7 @@ def test_kernel_matches_jnp_bisection(seed, spread, beta_prev):
     denom = mis_denominator(hist)
     bm = jnp.where(hist.sample_mask(), denom, jnp.inf)
     beta_k = float(
-        ess_bisect_beta(hist.flat_logl(), bm, beta_prev, target, interpret=True)
+        ess_bisect_beta(hist.flat_logl(), bm.reshape(-1), beta_prev, target, interpret=True)
     )
     rw = reweight(hist, jnp.asarray(beta_prev, jnp.float32), target)
     beta_j = float(rw.beta)
@@ -64,7 +64,7 @@ def test_kernel_endpoint_stay():
     hist = build_history(4, seed=5, spread=12.0)
     denom = mis_denominator(hist)
     bm = jnp.where(hist.sample_mask(), denom, jnp.inf)
-    beta = float(ess_bisect_beta(hist.flat_logl(), bm, 0.5, 1e9, interpret=True))
+    beta = float(ess_bisect_beta(hist.flat_logl(), bm.reshape(-1), 0.5, 1e9, interpret=True))
     assert beta == 0.5
 
 
@@ -73,7 +73,7 @@ def test_kernel_endpoint_jump():
     hist = build_history(4, seed=6, spread=0.01)  # near-equal weights
     denom = mis_denominator(hist)
     bm = jnp.where(hist.sample_mask(), denom, jnp.inf)
-    beta = float(ess_bisect_beta(hist.flat_logl(), bm, 0.1, 4.0, interpret=True))
+    beta = float(ess_bisect_beta(hist.flat_logl(), bm.reshape(-1), 0.1, 4.0, interpret=True))
     assert beta == 1.0
 
 
@@ -82,6 +82,6 @@ def test_padding_to_lanes():
     hist = build_history(3, N=10, D=2, seed=7)  # S = 80, not lane-aligned
     denom = mis_denominator(hist)
     bm = jnp.where(hist.sample_mask(), denom, jnp.inf)
-    beta = float(ess_bisect_beta(hist.flat_logl(), bm, 0.0, 15.0, interpret=True))
+    beta = float(ess_bisect_beta(hist.flat_logl(), bm.reshape(-1), 0.0, 15.0, interpret=True))
     rw = reweight(hist, jnp.asarray(0.0, jnp.float32), 15.0)
     assert abs(beta - float(rw.beta)) < 2e-3
