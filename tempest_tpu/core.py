@@ -42,9 +42,9 @@ from .utils.profiling import annotate
 from .utils.progress import ProgressBar
 from .utils.wrappers import (
     FunctionWrapper,
+    build_blob_schema,
     build_log_likelihood,
     build_prior_transform,
-    infer_blob_size,
 )
 
 # Committing on sharded state must run as ONE compiled SPMD program:
@@ -69,7 +69,7 @@ class SamplerCore:
         wrapped = FunctionWrapper(
             cfg.log_likelihood, cfg.log_likelihood_args, cfg.log_likelihood_kwargs
         )
-        self.blob_size = infer_blob_size(
+        self.blob_schema = build_blob_schema(
             wrapped,
             cfg.n_dim,
             self.have_blobs,
@@ -77,6 +77,12 @@ class SamplerCore:
             cfg.blobs_dtype,
             declared_size=cfg.blob_size,
             prior_transform=cfg.prior_transform,
+            vectorize=cfg.vectorize,
+        )
+        self.have_blobs = self.blob_schema is not None
+        self.blob_size = None if self.blob_schema is None else self.blob_schema.width
+        self._blobs_device_dtype = (
+            None if self.blob_schema is None else self.blob_schema.device_dtype
         )
         self._prior_batch = build_prior_transform(cfg.prior_transform, cfg.vectorize)
         self._loglike_batch = build_log_likelihood(
@@ -86,8 +92,7 @@ class SamplerCore:
             cfg.host_likelihood,
             cfg.n_particles,
             dtype=cfg.dtype,
-            blob_size=self.blob_size,
-            blobs_dtype=cfg.blobs_dtype,
+            schema=self.blob_schema,
             pool=cfg.pool if cfg.host_likelihood else None,
         )
 
@@ -140,7 +145,7 @@ class SamplerCore:
             from .fused import make_fused_iteration
 
             self._fused_iter = make_fused_iteration(
-                cfg, self._loglike_batch, self._prior_batch
+                cfg, self._loglike_batch, self._prior_batch, self.have_blobs
             )
 
         self.mesh = cfg.mesh
@@ -160,11 +165,11 @@ class SamplerCore:
             cfg.n_dim,
             dtype=cfg.dtype,
             blob_size=self.blob_size,
-            blobs_dtype=cfg.blobs_dtype,
+            blobs_dtype=self._blobs_device_dtype,
         )
         self.cur: Current = make_current(
             cfg.n_particles, cfg.n_dim, dtype=cfg.dtype,
-            blob_size=self.blob_size, blobs_dtype=cfg.blobs_dtype,
+            blob_size=self.blob_size, blobs_dtype=self._blobs_device_dtype,
         )
         self._apply_sharding()
         self.pbar: Optional[ProgressBar] = None
@@ -191,11 +196,11 @@ class SamplerCore:
         self.key = jax.random.PRNGKey(seed)
         self.hist = make_history(
             cfg.history_capacity, cfg.n_particles, cfg.n_dim,
-            dtype=cfg.dtype, blob_size=self.blob_size, blobs_dtype=cfg.blobs_dtype,
+            dtype=cfg.dtype, blob_size=self.blob_size, blobs_dtype=self._blobs_device_dtype,
         )
         self.cur = make_current(
             cfg.n_particles, cfg.n_dim, dtype=cfg.dtype,
-            blob_size=self.blob_size, blobs_dtype=cfg.blobs_dtype,
+            blob_size=self.blob_size, blobs_dtype=self._blobs_device_dtype,
         )
         self.n_total = None
         self.logz_err = None
@@ -293,7 +298,7 @@ class SamplerCore:
 
         if not hasattr(self, "_fused_run"):
             self._fused_run = make_fused_run(
-                self.config, self._loglike_batch, self._prior_batch
+                self.config, self._loglike_batch, self._prior_batch, self.have_blobs
             )
         runner = self._fused_run
 
@@ -321,6 +326,7 @@ class SamplerCore:
             if not self._not_termination():
                 break
             self._ensure_capacity()  # loop exited because capacity filled
+        self._prune_blob_store()
 
     def _not_termination(self) -> bool:
         """Continue while (1 - beta >= 1e-4) or posterior ESS < n_total.
@@ -368,6 +374,7 @@ class SamplerCore:
             # Keep the trainer's view consistent for diagnostics (K, etc.).
             self.trainer._model = self._fused_model
             self._update_progress_bar()
+            self._prune_blob_store()
             return self.get_current_dict()
 
         iteration = int(self.cur.iteration) + 1
@@ -451,7 +458,21 @@ class SamplerCore:
 
         self._update_progress_bar()
         self.hist = _commit_jit(self.hist, self.cur)
+        self._prune_blob_store()
         return self.get_current_dict()
+
+    def _prune_blob_store(self):
+        """Garbage-collect host-side object-blob payloads whose device ids
+        no longer appear in the history or the active set (rejected MCMC
+        proposals). Only runs for object/string blob schemas."""
+        sch = self.blob_schema
+        if sch is None or not sch.is_object:
+            return
+        live = np.concatenate([
+            fetch(self.hist.blobs).reshape(-1),
+            fetch(self.cur.blobs).reshape(-1),
+        ])
+        sch.prune_store(live)
 
     def _run_warmup_mutation(self):
         """beta=0 mutation: fresh prior draws with the infinite-logl patch
@@ -531,7 +552,7 @@ class SamplerCore:
 
         out = [x, weights, logl]
         if return_blobs and blobs is not None:
-            out.append(blobs)
+            out.append(self.blob_schema.unpack(blobs))
         if return_logw:
             out.append(logw_np)
         return tuple(out)
@@ -560,7 +581,9 @@ class SamplerCore:
             "iter": np.arange(1, t + 1),
         }
         if self.hist.blobs is not None:
-            out["blobs"] = np.moveaxis(fetch(self.hist.blobs[:, :t]), 0, -1)
+            b = np.moveaxis(fetch(self.hist.blobs[:, :t]), 0, -1)  # (t, N, B)
+            un = self.blob_schema.unpack(b.reshape(t * self.n_particles, -1))
+            out["blobs"] = un.reshape((t, self.n_particles) + un.shape[1:])
         logw, _ = compute_logw_and_logz(self.hist, 1.0)
         out["logw"] = fetch(logw).reshape(-1)[
             fetch(self.hist.sample_mask()).reshape(-1)
@@ -574,11 +597,18 @@ class SamplerCore:
             "random_state": self.config.random_state,
             "version": 1,
         }
-        save_checkpoint(Path(path), self.hist, self.cur, self.key, meta)
+        store = (
+            self.blob_schema.store
+            if self.blob_schema is not None and self.blob_schema.is_object
+            else None
+        )
+        save_checkpoint(Path(path), self.hist, self.cur, self.key, meta, blob_store=store)
 
     def load_sampler_state(self, path: Union[str, Path]) -> None:
-        hist, cur, key, meta = load_checkpoint(Path(path), dtype=self.dtype)
+        hist, cur, key, meta, store = load_checkpoint(Path(path), dtype=self.dtype)
         self.hist, self.cur, self.key = hist, cur, key
+        if store is not None and self.blob_schema is not None:
+            self.blob_schema.store = store
         self._apply_sharding()
         if meta.get("n_total") is not None:
             self.n_total = meta["n_total"]
@@ -590,7 +620,9 @@ class SamplerCore:
             "u": fetch(c.u),
             "x": fetch(c.x),
             "logl": fetch(c.logl),
-            "blobs": None if c.blobs is None else fetch(c.blobs),
+            "blobs": None
+            if c.blobs is None
+            else self.blob_schema.unpack(fetch(c.blobs)),
             "assignments": fetch(c.assignments),
             "beta": float(c.beta),
             "logz": float(c.logz),

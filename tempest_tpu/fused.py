@@ -18,7 +18,7 @@ host Trainer implements (steps/train.py), with zero host round-trips.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +39,7 @@ def _make_iteration_fn(
     config: SamplerConfig,
     log_likelihood_batch: Callable,
     prior_transform_batch: Callable,
+    have_blobs: Optional[bool] = None,
 ) -> Callable:
     """Unjitted single-iteration fn: (key, hist, cur) -> (hist, cur).
 
@@ -63,7 +64,9 @@ def _make_iteration_fn(
         reflective_mask=r_mask,
         strict_mask=s_mask,
         n_candidates=cfg.n_candidates,
-        have_blobs=cfg.blobs_dtype is not None,
+        have_blobs=(
+            cfg.blobs_dtype is not None if have_blobs is None else have_blobs
+        ),
     )
     dummy_cluster = single_cluster_model(cfg.n_dim, k_max, cfg.dtype)
     warmup = make_warmup_kernel(
@@ -243,7 +246,7 @@ def _make_iteration_fn(
     return iteration
 
 
-def _state_out_shardings(config: SamplerConfig):
+def _state_out_shardings(config: SamplerConfig, have_blobs: Optional[bool] = None):
     """(hist, cur, model, fitted) output shardings for the fused programs.
 
     Without the explicit constraint the SPMD partitioner may decide to
@@ -259,7 +262,7 @@ def _state_out_shardings(config: SamplerConfig):
 
     h_sh = history_sharding(config.mesh, config.particle_axis)
     c_sh = current_sharding(config.mesh, config.particle_axis)
-    if config.blobs_dtype is None:
+    if not (config.blobs_dtype is not None if have_blobs is None else have_blobs):
         h_sh = h_sh.replace(blobs=None)
         c_sh = c_sh.replace(blobs=None)
     rep = NamedSharding(config.mesh, P())
@@ -270,6 +273,7 @@ def make_fused_iteration(
     config: SamplerConfig,
     log_likelihood_batch: Callable,
     prior_transform_batch: Callable,
+    have_blobs: Optional[bool] = None,
 ) -> Callable:
     """Jitted single PS iteration:
     (key, hist, cur, model, fitted) -> (hist, cur, model, fitted).
@@ -277,8 +281,10 @@ def make_fused_iteration(
     `model` is the carried ClusterModel (reused between refits when
     cluster_every > 1); `fitted` marks whether it holds a real fit yet.
     """
-    fn = _make_iteration_fn(config, log_likelihood_batch, prior_transform_batch)
-    out_sh = _state_out_shardings(config)
+    fn = _make_iteration_fn(
+        config, log_likelihood_batch, prior_transform_batch, have_blobs
+    )
+    out_sh = _state_out_shardings(config, have_blobs)
     if out_sh is None:
         return jax.jit(fn)
     return jax.jit(fn, out_shardings=out_sh)
@@ -288,6 +294,7 @@ def make_fused_run(
     config: SamplerConfig,
     log_likelihood_batch: Callable,
     prior_transform_batch: Callable,
+    have_blobs: Optional[bool] = None,
 ) -> Callable:
     """The whole annealing run as ONE device program.
 
@@ -303,7 +310,9 @@ def make_fused_run(
     before termination, the loop exits early with hist.t == capacity and
     the caller can grow + re-enter.
     """
-    iteration = _make_iteration_fn(config, log_likelihood_batch, prior_transform_batch)
+    iteration = _make_iteration_fn(
+        config, log_likelihood_batch, prior_transform_batch, have_blobs
+    )
     from .ops.tools import ess_from_logw
 
     def run(key: jax.Array, hist: History, cur: Current, n_total, model, fitted):
@@ -342,7 +351,7 @@ def make_fused_run(
         return hist, cur, model, fitted
 
     cfg = config
-    out_sh = _state_out_shardings(config)
+    out_sh = _state_out_shardings(config, have_blobs)
     if out_sh is None:
         return jax.jit(run)
     return jax.jit(run, out_shardings=out_sh)

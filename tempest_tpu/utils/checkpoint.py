@@ -45,6 +45,7 @@ def save_checkpoint(
     cur: Current,
     key: jax.Array,
     meta: Optional[dict] = None,
+    blob_store: Optional[list] = None,
 ) -> None:
     """Atomically write the full sampler state.
 
@@ -76,7 +77,15 @@ def save_checkpoint(
         # Call counters are stored in sweep units (1 sweep = n_particles
         # likelihood calls); absent in files from before the overflow fix.
         "calls_units": "sweeps",
+        "has_blob_store": blob_store is not None,
     }
+    if blob_store is not None:
+        # Object/string blob payloads (utils/blobs.BlobSchema.store):
+        # pickled inside the npz; the loader only enables allow_pickle for
+        # files that declare this entry.
+        arr = np.empty((len(blob_store),), dtype=object)
+        arr[:] = blob_store
+        arrays["blob_store"] = arr
 
     with open(tmp, "wb") as f:
         np.savez(f, __meta__=json.dumps(payload), **arrays)
@@ -88,9 +97,16 @@ def save_checkpoint(
 
 def load_checkpoint(
     path: Union[str, Path], dtype=jnp.float32
-) -> Tuple[History, Current, jax.Array, dict]:
-    """Load a checkpoint written by save_checkpoint."""
-    with np.load(Path(path), allow_pickle=False) as data:
+) -> Tuple[History, Current, jax.Array, dict, Optional[list]]:
+    """Load a checkpoint written by save_checkpoint.
+
+    Returns (hist, cur, key, meta, blob_store) — blob_store is None unless
+    the file holds object-blob payloads (only such files need pickle).
+    """
+    with np.load(Path(path), allow_pickle=False) as probe:
+        payload = json.loads(str(probe["__meta__"]))
+    allow_pickle = bool(payload.get("has_blob_store", False))
+    with np.load(Path(path), allow_pickle=allow_pickle) as data:
         payload = json.loads(str(data["__meta__"]))
         get = lambda name: jnp.asarray(data[name])
         has_blobs = payload["has_blobs"]
@@ -148,4 +164,7 @@ def load_checkpoint(
             hist = hist.replace(calls=hist.calls // n)
             cur = cur.replace(calls=cur.calls // n)
         key = jnp.asarray(data["rng_key"])  # legacy uint32 key format
-        return hist, cur, key, payload["meta"]
+        store = None
+        if allow_pickle and "blob_store" in data:
+            store = list(data["blob_store"])
+        return hist, cur, key, payload["meta"], store

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .blobs import BlobSchema, infer_np_dtype_from_result
+
 
 class FunctionWrapper:
     """Picklable closure binding extra args/kwargs (tools.py:270-309)."""
@@ -74,31 +76,46 @@ def build_log_likelihood(
     host_likelihood: bool,
     n_particles: int,
     dtype=jnp.float32,
-    blob_size: Optional[int] = None,
-    blobs_dtype=None,
+    schema: Optional[BlobSchema] = None,
     pool=None,
 ) -> Callable:
-    """Batched x (N, d) -> (logl (N,), blobs (N, B) | None)."""
+    """Batched x (N, d) -> (logl (N,), blobs (N, B) | None).
+
+    `schema` (utils/blobs.BlobSchema) describes the device packing of the
+    per-point blob payloads when have_blobs.
+    """
 
     if host_likelihood:
-        # Non-JAX escape hatch: evaluate on the host via pure_callback.
+        # Non-JAX escape hatch: evaluate on the host via a callback.
         pool_map = _make_pool_map(pool)
         if have_blobs:
-            bdt = np.dtype(np.float32) if blobs_dtype is None else np.dtype(blobs_dtype)
 
             def host_eval(xs):
                 out = pool_map(log_likelihood, list(np.asarray(xs)))
                 logl = np.array([float(o[0]) for o in out], dtype=np.float32)
-                blobs = np.array([np.atleast_1d(o[1]) for o in out], dtype=bdt)
-                return logl, blobs.reshape(len(out), -1)
+                items = [tuple(o[1:]) for o in out]
+                return logl, schema.pack(items)
 
-            def batched(x):
-                shape = (
-                    jax.ShapeDtypeStruct((n_particles,), jnp.float32),
-                    jax.ShapeDtypeStruct((n_particles, blob_size), jnp.dtype(bdt)),
-                )
-                logl, blobs = jax.pure_callback(host_eval, shape, x)
-                return logl.astype(dtype), blobs
+            shape = (
+                jax.ShapeDtypeStruct((n_particles,), jnp.float32),
+                jax.ShapeDtypeStruct((n_particles, schema.width), schema.device_dtype),
+            )
+
+            if schema.is_object:
+                # pack() appends to the host-side payload store — a side
+                # effect pure_callback is allowed to elide or replay;
+                # io_callback guarantees exactly-once execution.
+                from jax.experimental import io_callback
+
+                def batched(x):
+                    logl, blobs = io_callback(host_eval, shape, x)
+                    return logl.astype(dtype), blobs
+
+            else:
+
+                def batched(x):
+                    logl, blobs = jax.pure_callback(host_eval, shape, x)
+                    return logl.astype(dtype), blobs
 
             return batched
 
@@ -124,8 +141,16 @@ def build_log_likelihood(
     if have_blobs:
         def per_point(x):
             out = log_likelihood(x)
-            logl, blob = out[0], out[1]
-            return jnp.asarray(logl, dtype=dtype), jnp.atleast_1d(jnp.asarray(blob)).reshape(-1)
+            logl, elems = out[0], out[1:]
+            # Reference packs ALL trailing return values into the blob
+            # (core.py:331); flatten each and lay them out in order —
+            # matching the structured-dtype field order when declared.
+            flat = [jnp.atleast_1d(jnp.asarray(e)).reshape(-1) for e in elems]
+            blob = jnp.concatenate(flat) if len(flat) > 1 else flat[0]
+            return (
+                jnp.asarray(logl, dtype=dtype),
+                blob.astype(schema.device_dtype),
+            )
 
         vmapped = jax.vmap(per_point)
 
@@ -146,7 +171,7 @@ def build_log_likelihood(
     return batched_jax
 
 
-def infer_blob_size(
+def build_blob_schema(
     log_likelihood: Callable,
     n_dim: int,
     have_blobs: bool,
@@ -154,34 +179,74 @@ def infer_blob_size(
     blobs_dtype=None,
     declared_size: Optional[int] = None,
     prior_transform: Optional[Callable] = None,
-) -> Optional[int]:
-    """Determine the flattened blob width B.
+    vectorize: bool = False,
+) -> Optional[BlobSchema]:
+    """Determine the blob layout (utils/blobs.BlobSchema) — or None.
 
-    JAX likelihoods are probed with `jax.eval_shape` (abstract tracing — no
-    likelihood executes). Host likelihoods cannot be shape-traced, so pass
-    `blob_size=` in the config to keep the reference's "no likelihood calls
-    at construction" contract (SURVEY §3.1); without it we fall back to one
-    real host evaluation at the prior midpoint and warn.
+    Semantics mirror the reference's lazy detection (core.py:328-354), moved
+    to construction time because device buffer shapes must be static:
+
+    - `blobs_dtype` structured / object: the dtype fully determines the
+      layout — no probing.
+    - simple numeric `blobs_dtype` (or blobs auto-detected): the flattened
+      width comes from `blob_size`, else from `jax.eval_shape` (abstract
+      tracing — no likelihood executes) for JAX likelihoods, else from ONE
+      real host evaluation at the prior midpoint (with a warning).
+    - no `blobs_dtype`: JAX per-point likelihoods are shape-traced; a
+      tuple return with >1 element means blobs exist (the reference's
+      `isinstance(results[0], tuple)` probe), with the dtype inferred from
+      the traced trailing elements. Host likelihoods require an explicit
+      `blobs_dtype` (no-likelihood-calls-at-construction contract).
     """
+    auto_detect = blobs_dtype is None and not have_blobs
+    if auto_detect:
+        if host_likelihood or vectorize:
+            return None
+        try:
+            shape = jax.eval_shape(
+                log_likelihood, jax.ShapeDtypeStruct((n_dim,), jnp.float32)
+            )
+        except Exception:
+            return None
+        if not isinstance(shape, (tuple, list)) or len(shape) < 2:
+            return None
+        elems = shape[1:]
+        np_dtype = np.result_type(*[np.dtype(str(e.dtype)) for e in elems])
+        width = sum(max(int(np.prod(e.shape)), 1) for e in elems)
+        return BlobSchema(np_dtype, blob_size=width)
+
     if not have_blobs:
         return None
+
+    dt = np.dtype(blobs_dtype) if blobs_dtype is not None else np.dtype(np.float32)
+    if dt.fields is not None or dt.kind in "USO":
+        return BlobSchema(dt)  # width determined by the dtype itself
+
     if declared_size is not None:
-        return int(declared_size)
+        return BlobSchema(dt, blob_size=int(declared_size))
     if host_likelihood:
         import warnings
 
         warnings.warn(
             "host_likelihood=True with blobs and no blob_size: inferring the "
             "blob width requires ONE likelihood evaluation at construction "
-            "(at the prior midpoint). Pass blob_size=<int> to avoid it for "
-            "expensive or stateful likelihoods.",
+            "(at the prior midpoint). Pass blob_size=<int> (or a structured "
+            "blobs_dtype) to avoid it for expensive or stateful likelihoods.",
             UserWarning,
             stacklevel=3,
         )
         mid = np.full(n_dim, 0.5)
         x_mid = np.asarray(prior_transform(mid)) if prior_transform is not None else mid
         out = log_likelihood(x_mid)
-        return int(np.atleast_1d(out[1]).size)
+        width = int(sum(np.atleast_1d(e).size for e in out[1:]))
+        if blobs_dtype is None:
+            dt = infer_np_dtype_from_result(
+                out[1] if len(out) == 2 else tuple(out[1:])
+            )
+            if dt.fields is not None or dt.kind in "USO":
+                return BlobSchema(dt)
+        return BlobSchema(dt, blob_size=width)
     shape = jax.eval_shape(log_likelihood, jax.ShapeDtypeStruct((n_dim,), jnp.float32))
-    blob = shape[1]
-    return int(np.prod(blob.shape)) if blob.shape else 1
+    elems = shape[1:]
+    width = sum(max(int(np.prod(e.shape)), 1) for e in elems)
+    return BlobSchema(dt, blob_size=width)
