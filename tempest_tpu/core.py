@@ -36,7 +36,12 @@ from .steps.mutate import make_warmup_kernel
 from .steps.resample import resample as resample_step
 from .steps.reweight import reweight as reweight_step
 from .steps.train import Trainer
-from .utils.checkpoint import load_checkpoint, save_checkpoint
+from .utils.checkpoint import (
+    load_checkpoint,
+    load_checkpoint_sharded,
+    save_checkpoint,
+    save_checkpoint_sharded,
+)
 from .utils.host import fetch
 from .utils.profiling import annotate
 from .utils.progress import ProgressBar
@@ -602,14 +607,36 @@ class SamplerCore:
             if self.blob_schema is not None and self.blob_schema.is_object
             else None
         )
-        save_checkpoint(Path(path), self.hist, self.cur, self.key, meta, blob_store=store)
+        if jax.process_count() > 1:
+            # Multi-controller job: per-host sharded checkpoint — each
+            # process writes only its addressable shards (no global
+            # gather; SURVEY §7.8). Object-blob stores are host-local
+            # state and unsupported across controllers.
+            save_checkpoint_sharded(Path(path), self.hist, self.cur, self.key, meta)
+        else:
+            save_checkpoint(
+                Path(path), self.hist, self.cur, self.key, meta, blob_store=store
+            )
 
     def load_sampler_state(self, path: Union[str, Path]) -> None:
-        hist, cur, key, meta, store = load_checkpoint(Path(path), dtype=self.dtype)
+        path = Path(path)
+        if path.is_dir():
+            if self.mesh is None:
+                raise ValueError(
+                    f"{path} is a per-host sharded checkpoint; construct the "
+                    "Sampler with the same (or a compatible) mesh to load it."
+                )
+            hist, cur, key, meta = load_checkpoint_sharded(
+                path, self.mesh, self.config.particle_axis
+            )
+            store = None
+        else:
+            hist, cur, key, meta, store = load_checkpoint(path, dtype=self.dtype)
         self.hist, self.cur, self.key = hist, cur, key
         if store is not None and self.blob_schema is not None:
             self.blob_schema.store = store
-        self._apply_sharding()
+        if not path.is_dir():
+            self._apply_sharding()
         if meta.get("n_total") is not None:
             self.n_total = meta["n_total"]
 

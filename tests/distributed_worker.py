@@ -70,10 +70,21 @@ def main():
     s.run(n_total=512, progress=False)
     logz = s.logz
 
-    # Multi-host checkpoint: collective gather, primary-only write, barrier.
+    # Multi-host checkpoint: per-host sharded (no global gather) — each
+    # process writes only its addressable half of every particle-sharded
+    # leaf (utils/checkpoint.save_checkpoint_sharded).
     ckpt = workdir / "mp.state"
     s.save_state(ckpt)
-    assert ckpt.exists()
+    assert ckpt.is_dir(), "multi-process save must use the sharded format"
+    my_shard = ckpt / f"shard_{process_id}"
+    assert my_shard.is_dir()
+    # Size assertion: no process materialized the world. This process's
+    # slab of hist.u holds exactly its half of the global buffer.
+    hist_u = np.load(my_shard / "hist.u.npy", mmap_mode="r")
+    g = s.state.hist.u.shape
+    assert hist_u.shape == (g[0], g[1], g[2] // 2), (
+        f"shard holds {hist_u.shape}, expected half of {g}"
+    )
 
     # Resume into a fresh sampler; state must re-shard over the global mesh.
     s2 = Sampler(
