@@ -268,9 +268,13 @@ def per_stage_timing(n_particles, n_devices, n_iters=6, clustering=False):
             rw.weights.reshape(-1), mask=core.hist.sample_mask().reshape(-1),
             ess=TRIM_ESS, bins=TRIM_BINS,
         )
-        modes = fit_global_mode(
-            core.hist.flat_u(), w_trim, dof_fallback=DOF_FALLBACK
-        )
+        # Production path: geometry fit on the top-train_max_points samples
+        # by weight, not the whole flat history (fused._mutate_branch).
+        m_cap = min(cfg.train_max_points or 4096, w_trim.shape[0])
+        w_fit, idx = jax.lax.top_k(w_trim, m_cap)
+        N = cfg.n_particles
+        u_fit = core.hist.u[:, idx // N, idx % N].T
+        modes = fit_global_mode(u_fit, w_fit, dof_fallback=DOF_FALLBACK)
         sync(modes)
         stages["train(global)"] += time.time() - t0
 
@@ -319,6 +323,47 @@ def per_stage_timing(n_particles, n_devices, n_iters=6, clustering=False):
     return result
 
 
+def collective_latency(n_devices, n_trips=200):
+    """Per-trip latency of a tiny all-reduce inside a while_loop on an
+    n-device mesh — the unit cost of the ~4 scalar all-reduces each MCMC
+    step issues (acceptance psum, sigma adaptation, loop condition).
+
+    On XLA:CPU these are thread-rendezvous barriers among n_devices threads
+    on os.cpu_count() physical cores; the measured latency times the
+    per-iteration collective count attributes the virtual-mesh overhead.
+    On real ICI the same collectives cost ~1-10 us.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tempest_tpu.parallel.mesh import make_particle_mesh
+
+    mesh = make_particle_mesh(n_devices) if n_devices > 1 else None
+
+    x = jnp.zeros((n_devices * 16,), jnp.float32)
+    if mesh is not None:
+        x = jax.device_put(x, NamedSharding(mesh, P("particles")))
+
+    @jax.jit
+    def loop(x):
+        def body(c):
+            i, x = c
+            # global sum -> broadcast back: one all-reduce per trip
+            s = jnp.sum(x)
+            return i + 1, x + s * 1e-30
+        def cond(c):
+            return c[0] < n_trips
+        _, out = jax.lax.while_loop(cond, body, (0, x))
+        return out
+
+    loop(x).block_until_ready()
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        loop(x).block_until_ready()
+    per_trip_us = (time.time() - t0) / (reps * n_trips) * 1e6
+    return {"n_devices": n_devices, "per_trip_allreduce_us": round(per_trip_us, 1)}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, default=8)
@@ -351,6 +396,16 @@ def main():
         for r in report["stages"]:
             print(json.dumps(r))
 
+    if "latency" not in skip:
+        print("== Collective latency microbenchmark ==")
+        report["collective_latency"] = [
+            collective_latency(1),
+            collective_latency(2),
+            collective_latency(args.devices),
+        ]
+        for r in report["collective_latency"]:
+            print(json.dumps(r))
+
     if "fixed" not in skip:
         print("== Fixed-work partitioning overhead ==")
         report["fixed_work"] = fixed_work_overhead(
@@ -358,6 +413,13 @@ def main():
         )
 
     os.makedirs(os.path.dirname(args.json), exist_ok=True)
+    # Merge with any prior report so partial runs (--skip ...) refresh only
+    # their own sections.
+    if os.path.exists(args.json):
+        with open(args.json) as f:
+            prior = json.load(f)
+        prior.update(report)
+        report = prior
     with open(args.json, "w") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {args.json}")

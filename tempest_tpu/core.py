@@ -562,8 +562,19 @@ class SamplerCore:
             out.append(logw_np)
         return tuple(out)
 
-    def compute_evidence(self):
-        """(logz, logz_err). Parity: core.py:244-247 (err always None)."""
+    def compute_evidence(self, n_bootstrap: int = 0):
+        """(logz, logz_err). Parity: core.py:244-247 (err None by default;
+        n_bootstrap > 0 adds the block-bootstrap error the reference
+        lacks)."""
+        if n_bootstrap > 0 and int(self.hist.t) > 0:
+            from .state import bootstrap_logz_err
+
+            err = float(
+                bootstrap_logz_err(
+                    self.hist, self._next_key(), n_bootstrap=int(n_bootstrap)
+                )
+            )
+            return float(self.cur.logz), err
         return float(self.cur.logz), self.logz_err
 
     def compute_results(self) -> dict:

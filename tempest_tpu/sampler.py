@@ -161,9 +161,15 @@ class Sampler:
             bins_trim=bins_trim,
         )
 
-    def evidence(self):
-        """(logz, logz_err). Parity: sampler.py:265-276."""
-        return self._core.compute_evidence()
+    def evidence(self, n_bootstrap: int = 0):
+        """(logz, logz_err). Parity: sampler.py:265-276.
+
+        The reference always returns logz_err=None; pass n_bootstrap > 0
+        (e.g. 256) to estimate it with an on-device iteration-block
+        bootstrap over the MIS history (state.bootstrap_logz_err) — the
+        default keeps exact reference behavior.
+        """
+        return self._core.compute_evidence(n_bootstrap=n_bootstrap)
 
     def save_state(self, path: Union[str, Path]):
         self._core.save_sampler_state(Path(path))

@@ -387,6 +387,43 @@ def logw_from_denominator(
     return logw, logz_new
 
 
+def bootstrap_logz_err(
+    hist: History, key: jax.Array, n_bootstrap: int = 256, beta_final=1.0
+) -> jnp.ndarray:
+    """Iteration-block bootstrap standard error of the MIS logZ estimate.
+
+    The reference returns logz_err = None unconditionally
+    (/root/reference/tempest/core.py:244-247); this provides the error bar
+    it lacks. The estimator logZ = logsumexp_s(logw_s) - log(N*t)
+    decomposes over iteration blocks: with L_t = logsumexp_n(logw[t, :]),
+    logZ = logsumexp_t(L_t) - log(N*t). Samples within an iteration share
+    an MCMC ancestry and a ladder position, so blocks — not samples — are
+    the approximately-independent unit: resample t blocks with replacement
+    and take the std of the replicate logZs. O(T_max * n_bootstrap) work on
+    the (T_max,) block vector — the (T, N) weight pass runs once.
+
+    Caveat (documented in docs/user_guide/advanced.md): the MIS
+    denominators couple blocks through the shared temperature ladder, so
+    this is the standard block-bootstrap approximation; validated against
+    the multi-seed scatter on the 50-D Gaussian and 25-D funnel benchmarks
+    (benchmarks/results/accuracy_parity.json).
+    """
+    logw, _ = logw_from_denominator(hist, mis_denominator(hist), beta_final, normalize=False)
+    L = logsumexp(logw, axis=1)  # (T_max,) block logsumexps, -inf when invalid
+    T_max = hist.capacity
+    t = jnp.maximum(hist.t, 1)
+    n_total = (t * hist.n_particles).astype(L.dtype)
+
+    # (B, T_max) random block indices in [0, t); slots j >= t are masked.
+    u = jax.random.uniform(key, (n_bootstrap, T_max))
+    idx = jnp.minimum((u * t).astype(jnp.int32), t - 1)
+    draws = L[idx]  # (B, T_max)
+    draws = jnp.where(jnp.arange(T_max)[None, :] < t, draws, -jnp.inf)
+    logz_b = logsumexp(draws, axis=1) - jnp.log(n_total)
+    mean = jnp.mean(logz_b)
+    return jnp.sqrt(jnp.mean((logz_b - mean) ** 2))
+
+
 def compute_logw_and_logz(
     hist: History, beta_final, normalize: bool = True
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -127,3 +127,36 @@ class TestResults:
     def test_beta_ends_at_one(self):
         s = _run()
         assert s.results()["beta"][-1] == 1.0
+
+
+class TestBootstrapEvidenceError:
+    """state.bootstrap_logz_err — the error bar the reference lacks
+    (its evidence() returns logz_err=None unconditionally)."""
+
+    def test_default_is_reference_behavior(self):
+        s = _run()
+        logz, err = s.evidence()
+        assert err is None  # exact parity: core.py:244-247
+
+    def test_bootstrap_err_finite_positive_and_conservative(self):
+        logzs, errs = [], []
+        for seed in range(3):
+            s = _run(seed=seed)
+            logz, err = s.evidence(n_bootstrap=128)
+            assert np.isfinite(err) and err > 0
+            logzs.append(logz)
+            errs.append(err)
+        scatter = float(np.std(logzs))
+        # The block bootstrap is a conservative bound on the replication
+        # scatter (it treats the systematic ladder profile as random):
+        # every analytic deviation and the seed scatter must sit inside it.
+        assert min(errs) >= 0.3 * scatter
+        for lz, e in zip(logzs, errs):
+            assert abs(lz - TRUE_LOGZ) < 4 * e
+
+    def test_bootstrap_reproducible_scale(self):
+        s = _run()
+        _, e1 = s.evidence(n_bootstrap=256)
+        _, e2 = s.evidence(n_bootstrap=256)
+        # different RNG draws, same history: same scale
+        assert abs(e1 - e2) < 0.5 * max(e1, e2)

@@ -1,0 +1,123 @@
+"""On-TPU smoke suite (`-m tpu`): the backend-specific gates.
+
+The 257-test unit suite runs on a forced 8-virtual-device CPU backend
+(tests/conftest.py); these tests are the complement — they execute on the
+real TPU (axon) backend and catch backend-specific regressions (Pallas
+lowering, tiling/layout, remote-relay quirks) before bench.py does:
+
+    TEMPEST_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py -m tpu -q
+
+Kept intentionally tiny: every test uses small shapes so the whole suite
+compiles + runs in a few minutes on one chip (warm cache: seconds).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+N_DIM = 4
+ANALYTIC_LOGZ = -N_DIM * float(np.log(20.0))
+
+
+def prior(u):
+    return 20.0 * u - 10.0
+
+
+def loglike(x):
+    return -0.5 * jnp.sum(x * x, axis=-1) - 0.5 * N_DIM * jnp.log(2 * jnp.pi)
+
+
+def make_sampler(**kw):
+    from tempest_tpu import Sampler
+
+    kw.setdefault("n_particles", 64)
+    kw.setdefault("history_capacity", 32)
+    return Sampler(
+        prior, loglike, n_dim=N_DIM, vectorize=True, random_state=3, **kw
+    )
+
+
+def test_backend_is_tpu_family():
+    assert jax.default_backend() in ("tpu", "axon")
+
+
+def test_tiny_e2e_evidence():
+    """Clustered annealing to beta=1 on-device; logZ within tolerance."""
+    s = make_sampler(clustering=True)
+    s.run(n_total=128, progress=False)
+    assert s.beta == 1.0
+    assert abs(s.logz - ANALYTIC_LOGZ) < 0.5
+
+
+def test_fused_vs_host_loop_equality():
+    """The single-dispatch fused iteration and the per-stage host loop
+    must produce the same ladder and evidence on the TPU backend."""
+    s_fused = make_sampler(clustering=False, fused=True)
+    s_fused.run(n_total=128, progress=False)
+    s_host = make_sampler(clustering=False, fused=False)
+    s_host.run(n_total=128, progress=False)
+    assert int(s_fused.state.hist.t) == int(s_host.state.hist.t)
+    assert abs(s_fused.logz - s_host.logz) < 1e-3
+
+
+def test_pallas_bisection_matches_xla():
+    """The VMEM bisection kernel vs the XLA while-loop path, on-device."""
+    from tempest_tpu.ops.pallas_reweight import ess_bisect_beta, pallas_supported
+    from tempest_tpu.state import mis_denominator
+    from tempest_tpu.steps.reweight import reweight
+
+    s = make_sampler(clustering=False)
+    s.run(n_total=128, progress=False)
+    hist = s.state.hist
+    if not pallas_supported(hist.logl.size, hist.logl.dtype):
+        pytest.skip("history exceeds the Pallas VMEM budget")
+
+    denom = mis_denominator(hist)
+    bm = jnp.where(hist.sample_mask(), denom, jnp.inf)
+    target = 2.0 * s.n_particles
+    beta_prev = jnp.asarray(0.1, jnp.float32)
+    beta_pallas = float(
+        ess_bisect_beta(hist.logl.reshape(-1), bm.reshape(-1), beta_prev, target)
+    )
+    rw = reweight(hist, beta_prev, target, use_pallas=False)
+    assert abs(beta_pallas - float(rw.beta)) < 2e-3
+
+
+def test_checkpoint_roundtrip_on_device(tmp_path):
+    s = make_sampler(clustering=True)
+    s.run(n_total=128, progress=False)
+    path = tmp_path / "tpu.state"
+    s.save_state(path)
+    s2 = make_sampler(clustering=True)
+    s2.load_state(path)
+    assert int(s2.state.hist.t) == int(s.state.hist.t)
+    assert abs(s2.logz - s.logz) < 1e-6
+    # resumed state is usable: one more manual step executes
+    s2.sample()
+
+
+def test_history_layout_physical_bytes():
+    """(d, T, N) layout: the history must not pay the d->128 lane padding
+    the old (T, N, d) layout did (12.8x at d=10)."""
+    s = make_sampler(clustering=False, n_particles=256, history_capacity=32)
+    s.run(n_total=256, progress=False)
+    u = s.state.hist.u
+    logical = u.size * u.dtype.itemsize
+    stats = u.addressable_shards[0].device.memory_stats()
+    if not stats:  # remote backends may not expose memory stats
+        pytest.skip("device memory stats unavailable")
+    # (4, 32, 256): lane dim 256 is tile-aligned; sublane 32 aligned; the
+    # physical footprint should be ~= logical, not 12.8x. We can't read
+    # per-buffer physical bytes portably, so assert via on-device usage
+    # delta of a fresh allocation of the same shape.
+    import jax.numpy as jnp
+
+    before = stats["bytes_in_use"]
+    buf = jnp.zeros(u.shape, u.dtype).block_until_ready()
+    after = buf.addressable_shards[0].device.memory_stats()["bytes_in_use"]
+    phys = after - before
+    assert phys <= 2 * logical, f"physical {phys} vs logical {logical}"
