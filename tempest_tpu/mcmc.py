@@ -60,6 +60,40 @@ def _masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(mask, values, 0.0)) / jnp.maximum(jnp.sum(mask), 1)
 
 
+def _mode_quadratic(diff: jnp.ndarray, assignments: jnp.ndarray, mats: jnp.ndarray) -> jnp.ndarray:
+    """Per-walker Mahalanobis form diff_n^T M_{a(n)} diff_n -> (N,).
+
+    A per-walker gather `mats[assignments]` would materialize an (N, d, d)
+    buffer — 4 TB at N=1e6, d=100. Instead loop over the K_max modes with
+    one (N, d) x (d, d) matmul each: O(N*d) memory, K*N*d^2 flops that run
+    on the MXU (dense matmuls) instead of the per-walker batched matvecs
+    the gather formulation lowers to.
+    """
+    K = mats.shape[0]
+    N = diff.shape[0]
+
+    def body(k, acc):
+        v = diff @ mats[k]  # (N, d)
+        dk = jnp.sum(v * diff, axis=1)
+        return acc + jnp.where(assignments == k, dk, 0.0)
+
+    return jax.lax.fori_loop(0, K, body, jnp.zeros((N,), diff.dtype))
+
+
+def _mode_matmul(z: jnp.ndarray, assignments: jnp.ndarray, mats: jnp.ndarray) -> jnp.ndarray:
+    """Per-walker z_rn @ M_{a(n)}^T for z (R, N, d) -> (R, N, d).
+
+    Same memory rationale as _mode_quadratic: never materialize
+    mats[assignments] (N, d, d)."""
+    K = mats.shape[0]
+
+    def body(k, acc):
+        s = jnp.einsum("rnj,ij->rni", z, mats[k])
+        return acc + jnp.where((assignments == k)[None, :, None], s, 0.0)
+
+    return jax.lax.fori_loop(0, K, body, jnp.zeros_like(z))
+
+
 def make_mcmc_kernel(
     log_likelihood_batch: Callable,
     prior_transform_batch: Callable,
@@ -89,7 +123,7 @@ def make_mcmc_kernel(
     sigma_cap = jnp.minimum(sigma_0, 0.99)
     is_tpcn = method == "tpcn"
 
-    def propose(key, u, diff, mu, chol_w, sigma_w, scale_w):
+    def propose(key, u, diff, mu, assignments, chol_all, sigma_w, scale_w):
         """Multi-candidate proposal; returns (proposal, valid) per walker.
 
         The reference redraws each out-of-bounds walker until it lands in
@@ -105,7 +139,7 @@ def make_mcmc_kernel(
         """
         R = n_candidates
         z = jax.random.normal(key, (R,) + u.shape, dtype=u.dtype)  # (R, N, d)
-        step = jnp.einsum("nij,rnj->rni", chol_w, z)
+        step = _mode_matmul(z, assignments, chol_all)  # z_rn @ L_{a(n)}^T
         if is_tpcn:
             cand = (
                 mu
@@ -142,9 +176,9 @@ def make_mcmc_kernel(
             sigmas0 = jnp.full((k_max,), sigma_0, dtype=dtype)
 
         mu = modes.means[assignments]  # (N, d)
-        chol_w = modes.chol_covariances[assignments]  # (N, d, d)
-        inv_w = modes.inv_covariances[assignments]  # (N, d, d)
         dof_w = modes.degrees_of_freedom[assignments]  # (N,)
+        chol_all = modes.chol_covariances  # (K, d, d) — never gathered per walker
+        inv_all = modes.inv_covariances  # (K, d, d)
 
         onehot = (assignments[:, None] == jnp.arange(k_max)[None, :]).astype(dtype)
         count_k = jnp.sum(onehot, axis=0)  # (k_max,)
@@ -166,7 +200,7 @@ def make_mcmc_kernel(
             diff = u - mu
             if is_tpcn:
                 # inverse-gamma mixture scale per walker (mcmc.py:233-236)
-                dot = jnp.einsum("ni,nij,nj->n", diff, inv_w, diff)
+                dot = _mode_quadratic(diff, assignments, inv_all)
                 g_shape = (n_dim + dof_w) / 2.0
                 g_scale = 2.0 / (dof_w + dot)
                 g = jax.random.gamma(k_g, g_shape, dtype=dtype)
@@ -176,7 +210,9 @@ def make_mcmc_kernel(
                 dot = jnp.zeros_like(logl)
                 scale_w = jnp.ones_like(logl)
 
-            u_prime, valid = propose(k_p, u, diff, mu, chol_w, sigma_w, scale_w)
+            u_prime, valid = propose(
+                k_p, u, diff, mu, assignments, chol_all, sigma_w, scale_w
+            )
             x_prime = prior_transform_batch(u_prime)
             logl_prime, blobs_prime = log_likelihood_batch(x_prime)
             logl_prime = logl_prime.astype(dtype)
@@ -184,7 +220,7 @@ def make_mcmc_kernel(
             if is_tpcn:
                 # Student-t log-density ratio (mcmc.py:251-279)
                 diff_p = u_prime - mu
-                dot_p = jnp.einsum("ni,nij,nj->n", diff_p, inv_w, diff_p)
+                dot_p = _mode_quadratic(diff_p, assignments, inv_all)
                 coeff = -0.5 * (n_dim + dof_w)
                 log_cur = coeff * jnp.log1p(dot / dof_w)
                 log_prp = coeff * jnp.log1p(dot_p / dof_w)

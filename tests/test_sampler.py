@@ -184,10 +184,10 @@ class TestBlobs:
         )
         s.run(n_total=256, progress=False)
         x, w, logl, blobs = s.posterior(return_blobs=True)
-        assert blobs.shape[0] == x.shape[0]
-        np.testing.assert_allclose(
-            blobs[:, 0], x.sum(axis=1), rtol=1e-3, atol=1e-3
-        )
+        # Reference squeeze semantics (core.py:348-353): a width-1 blob
+        # comes back with shape (n,), not (n, 1).
+        assert blobs.shape == (x.shape[0],)
+        np.testing.assert_allclose(blobs, x.sum(axis=1), rtol=1e-3, atol=1e-3)
 
 
 class TestSampleMethod:
@@ -274,10 +274,9 @@ class TestSampleMethod:
         )
         st = s.sample()
         assert st["blobs"] is not None
-        assert st["blobs"].shape == (64, 1)
-        np.testing.assert_allclose(
-            st["blobs"][:, 0], st["x"].sum(axis=1), rtol=1e-5
-        )
+        # width-1 blobs are squeezed to (N,) — reference core.py:348-353
+        assert st["blobs"].shape == (64,)
+        np.testing.assert_allclose(st["blobs"], st["x"].sum(axis=1), rtol=1e-5)
 
 
 class TestSaveLoad:
