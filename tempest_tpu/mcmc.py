@@ -241,8 +241,22 @@ def make_mcmc_kernel(
                 blobs = jnp.where(accept[:, None], blobs_prime, blobs)
 
             # Per-cluster Robbins-Monro adaptation toward 0.234
-            # (mcmc.py:179-186, 281-288, 320-323)
-            alpha_k = onehot.T @ alpha  # (k_max,)
+            # (mcmc.py:179-186, 281-288, 320-323). All per-trip reductions
+            # over the sharded walker axis ride ONE fused sum (-> a single
+            # all-reduce per MCMC step under SPMD, instead of one each for
+            # the cluster sums, the acceptance mean, and the alpha mean).
+            cols = jnp.concatenate(
+                [
+                    onehot * alpha[:, None],
+                    accept.astype(dtype)[:, None],
+                    alpha[:, None],
+                ],
+                axis=1,
+            )  # (N, k_max + 2)
+            sums = jnp.sum(cols, axis=0)
+            alpha_k = sums[:k_max]  # (k_max,)
+            mean_accept = sums[k_max] / n_walkers
+            mean_alpha = sums[k_max + 1] / n_walkers
             mean_acc_k = alpha_k / jnp.maximum(count_k, 1.0)
             rate = 1.0 / (iteration.astype(dtype) + 1.0)
             if is_tpcn:
@@ -255,7 +269,7 @@ def make_mcmc_kernel(
 
             # Adaptive termination (mcmc.py:104-140): population-weighted
             # sigma over non-empty clusters.
-            acc = jnp.mean(accept.astype(dtype))
+            acc = mean_accept
             w_sigma = jnp.sum(count_k * sigmas) / jnp.maximum(jnp.sum(count_k), 1.0)
             n_adaptive = (
                 n_steps_min
@@ -273,7 +287,7 @@ def make_mcmc_kernel(
                 "blobs": blobs,
                 "sigmas": sigmas,
                 "iteration": iteration,
-                "alpha_mean": jnp.mean(alpha),
+                "alpha_mean": mean_alpha,
                 "done": done,
             }
 
