@@ -210,3 +210,77 @@ class TestDynamicEdgeCases:
         m1 = np.average(x1, axis=0, weights=w1)
         m2 = np.average(x2, axis=0, weights=w2)
         np.testing.assert_allclose(m1, m2, atol=0.4)
+
+
+class TestCVTargetSweep:
+    """Sweep of CV targets + degenerate-geometry cases, mirroring the depth
+    of reference test_volume_variation.py:140-296."""
+
+    def test_iterations_decrease_monotonically_with_target(self):
+        # Larger CV target -> bolder beta steps -> ladder no longer than
+        # any smaller target's (reference test_different_volume_variation_
+        # values).
+        iters = []
+        for cv in (0.2, 0.5, 1.0, 2.0):
+            s = run_dynamic(cv)
+            assert s.beta == 1.0
+            iters.append(int(s.state.hist.t))
+        assert all(a >= b for a, b in zip(iters, iters[1:])), iters
+
+    def test_all_targets_reach_accurate_evidence(self):
+        for cv in (0.2, 0.5, 1.0, 2.0):
+            s = run_dynamic(cv)
+            assert abs(s.logz - TRUE_LOGZ) < 1.0, (cv, s.logz)
+
+    def test_degenerate_covariance_regularized(self):
+        """Rank-deficient particle sets get the 1e-6*trace regularization
+        and a FINITE CV (reference tools.py:101-105 adds the ridge rather
+        than bailing; 1e10 is reserved for n < d+1 / failed inversion)."""
+        from tempest_tpu.ops.tools import volume_variation_dtn
+
+        # all particles on a line: covariance rank 1 < d
+        u = jnp.stack([jnp.linspace(0, 1, 32), jnp.zeros(32)])[:, None, :]
+        u = jnp.broadcast_to(u, (2, 1, 32))  # (d=2, T=1, N=32)
+        w = jnp.ones((1, 32)) / 32.0
+        cv = float(volume_variation_dtn(u, w))
+        assert np.isfinite(cv) and 0.0 < cv < 1e10
+
+    def test_too_few_samples_guard(self):
+        from tempest_tpu.ops.tools import volume_variation_dtn
+
+        u = jnp.ones((3, 1, 2))  # 2 samples < d + 1 = 4
+        w = jnp.ones((1, 2)) / 2.0
+        assert float(volume_variation_dtn(u, w)) == 1e10
+
+    def test_dynamic_high_dim(self):
+        # reference test_high_dimensional_with_volume_variation
+        def ll(x):
+            return -0.5 * jnp.sum(x**2) - 0.5 * 5 * jnp.log(2 * jnp.pi)
+
+        s = Sampler(
+            prior_transform, ll, n_dim=5, n_particles=64,
+            volume_variation=1.0, clustering=False, random_state=2,
+        )
+        s.run(n_total=256, progress=False)
+        assert s.beta == 1.0
+        assert abs(s.logz - (-5 * np.log(10.0))) < 1.5
+
+    def test_dynamic_multimodal_clustered(self):
+        # reference test_multimodal_with_volume_variation
+        def ll(x):
+            a = -0.5 * jnp.sum((x - 2.0) ** 2) / 0.25
+            b = -0.5 * jnp.sum((x + 2.0) ** 2) / 0.25
+            return jnp.logaddexp(a, b) - jnp.log(2.0) - N_DIM / 2 * jnp.log(
+                2 * jnp.pi * 0.25
+            )
+
+        s = Sampler(
+            prior_transform, ll, n_dim=N_DIM, n_particles=128,
+            volume_variation=1.0, clustering=True, random_state=3,
+        )
+        s.run(n_total=512, progress=False)
+        assert s.beta == 1.0
+        x, w, _ = s.posterior()
+        # both modes present
+        frac_pos = float(np.sum(w[x[:, 0] > 0]))
+        assert 0.15 < frac_pos < 0.85

@@ -160,3 +160,62 @@ class TestBootstrapEvidenceError:
         _, e2 = s.evidence(n_bootstrap=256)
         # different RNG draws, same history: same scale
         assert abs(e1 - e2) < 0.5 * max(e1, e2)
+
+
+class TestPosteriorCombinationMatrix:
+    """Full keyword-combination coverage mirroring the breadth of the
+    reference's tests/test_posterior_evidence.py:40-117."""
+
+    def test_all_flag_combinations_contract(self):
+        def ll_blob(x):
+            return -0.5 * jnp.sum(x**2), jnp.sum(x)
+
+        s = Sampler(
+            prior_transform, ll_blob, n_dim=N_DIM, n_particles=128,
+            clustering=False, random_state=1,
+        )
+        s.run(n_total=512, progress=False)
+        for resample in (False, True):
+            for trim in (False, True):
+                for blobs in (False, True):
+                    for logw in (False, True):
+                        out = s.posterior(
+                            resample=resample,
+                            trim_importance_weights=trim,
+                            return_blobs=blobs,
+                            return_logw=logw,
+                        )
+                        expect = 3 + int(blobs) + int(logw)
+                        assert len(out) == expect, (resample, trim, blobs, logw)
+                        x, w = out[0], out[1]
+                        n = x.shape[0]
+                        assert w.shape == (n,)
+                        assert np.all(w >= 0) and abs(w.sum() - 1.0) < 1e-5
+                        if blobs:
+                            assert out[3].shape[0] == n
+                        if logw:
+                            assert out[-1].shape == (n,)
+                        if resample:
+                            np.testing.assert_allclose(w, 1.0 / n, rtol=1e-6)
+
+    def test_posterior_samples_within_prior_support(self):
+        s = _run()
+        x, w, _ = s.posterior()
+        assert np.all(x >= -5.0) and np.all(x <= 5.0)
+
+    def test_custom_trim_parameters(self):
+        s = _run()
+        x_loose, w_loose, _ = s.posterior(ess_trim=0.90, bins_trim=100)
+        x_tight, w_tight, _ = s.posterior(ess_trim=0.999, bins_trim=2000)
+        # looser ESS preservation can only drop more samples
+        assert x_loose.shape[0] <= x_tight.shape[0]
+        for w in (w_loose, w_tight):
+            assert abs(w.sum() - 1.0) < 1e-5
+
+    def test_resample_draws_from_trimmed_set(self):
+        s = _run()
+        x_base, _, _ = s.posterior(resample=False)
+        x_res, w_res, _ = s.posterior(resample=True)
+        base_set = {tuple(np.round(r, 6)) for r in x_base}
+        for r in x_res[:64]:
+            assert tuple(np.round(r, 6)) in base_set

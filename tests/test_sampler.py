@@ -529,3 +529,62 @@ class TestCheckpointCompat:
         s2.load_state(legacy)
         assert int(s2.state.cur.calls) == sweeps  # back in sweep units
         assert s2.calls == sweeps * n  # raw count identical
+
+
+class TestSampleMethodBreadth:
+    """Manual sample()-loop breadth mirroring the reference's
+    test_sample_method.py cases not already covered above: state shapes,
+    save_every from sample(), per-method/per-kernel manual loops, and
+    particle updates between steps."""
+
+    def test_sample_state_shapes(self):
+        s = make_sampler()
+        st = s.sample()
+        N, d = s.n_particles, s.n_dim
+        assert st["u"].shape == (N, d) and st["x"].shape == (N, d)
+        assert st["logl"].shape == (N,)
+        assert st["assignments"].shape == (N,)
+        for key in ("beta", "logz", "ess", "acceptance", "efficiency"):
+            assert np.isscalar(st[key]) or np.ndim(st[key]) == 0
+
+    def test_sample_save_every_writes_checkpoints(self, tmp_path):
+        s = Sampler(
+            prior_transform, log_likelihood, n_dim=N_DIM, n_particles=64,
+            clustering=False, random_state=0, output_dir=str(tmp_path),
+            output_label="manual",
+        )
+        for _ in range(7):
+            s.sample(save_every=3)
+        files = list(tmp_path.glob("manual_*.state"))
+        assert files, "periodic checkpoints must be written by sample()"
+
+    def test_manual_loop_each_kernel_and_resampler(self):
+        for kernel in ("tpcn", "rwm"):
+            for method in ("mult", "syst"):
+                s = Sampler(
+                    prior_transform, log_likelihood, n_dim=N_DIM,
+                    n_particles=64, sample=kernel, resample=method,
+                    clustering=False, random_state=1,
+                )
+                st = s.sample()
+                for _ in range(30):
+                    st = s.sample()
+                    if 1.0 - st["beta"] < 1e-4:
+                        break
+                assert st["beta"] > 0.5, (kernel, method, st["beta"])
+
+    def test_particles_update_between_steps(self):
+        s = make_sampler()
+        a = s.sample()
+        b = s.sample()
+        assert not np.allclose(a["x"], b["x"])
+
+    def test_sample_beta_monotone_and_calls_increase(self):
+        s = make_sampler()
+        prev = s.sample()
+        for _ in range(10):
+            st = s.sample()
+            assert st["beta"] >= prev["beta"]
+            assert st["calls"] > prev["calls"]
+            assert st["iter"] == prev["iter"] + 1
+            prev = st
