@@ -210,6 +210,30 @@ def main():
     timeit("per-mode student-t (K=16)", jax.jit(mode_stats_fn),
            lambda i: (hist, weights), n=5)
 
+    # --- production-shape geometry stages (top-4096 fit points, evolving
+    # weights so the relay cannot memoize) — these are the shapes the fused
+    # clustered iteration actually runs (fused.py geometry stage).
+    labels_sub = jax.block_until_ready(jax.jit(cluster_predict)(model, u_sub))
+
+    def evolving_w(i):
+        # deterministic small perturbation keeps inputs distinct per call
+        return (u_sub, w_sel * (1.0 + 1e-4 * i), labels_sub)
+
+    stats_j = jax.jit(
+        lambda u, w, l: fit_mode_statistics(
+            u, w, l, k_max=K_MAX, dof_fallback=DOF_FALLBACK
+        )
+    )
+    timeit("per-mode student-t (top-4096)", stats_j, evolving_w, n=10)
+
+    timeit("cluster predict (top-4096)", predict_j,
+           lambda i: (model, u_sub * (1.0 + 1e-6 * i)))
+    u_active = jax.block_until_ready(
+        jax.jit(lambda X: X[:N_PART])(u_sub)
+    )
+    timeit("cluster predict (active N)", predict_j,
+           lambda i: (model, u_active * (1.0 + 1e-6 * i)))
+
 
 if __name__ == "__main__":
     main()

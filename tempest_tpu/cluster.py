@@ -223,6 +223,34 @@ def gmm_fit(
     return jax.tree_util.tree_map(lambda a: a[best], fits)
 
 
+def _single_component_fit(
+    X: jnp.ndarray,
+    sample_weight: jnp.ndarray,
+    covariance_type: str = "full",
+    reg_covar: float = 1e-6,
+) -> GMMParams:
+    """Exact K=1 weighted 'GMM' fit — one closed-form M-step.
+
+    For a single component the EM fixed point is reached immediately
+    (responsibilities are identically 1, so the first M-step is the MLE
+    and every subsequent iteration reproduces it); `gmm_fit(..., 1, ...)`
+    returns exactly this after its convergence check. The hierarchical
+    splitter evaluates a K=1 fit for every leaf every round, so skipping
+    the k-means++ init and the while_loop there removes most of its
+    sequential depth."""
+    sw = sample_weight / jnp.maximum(jnp.sum(sample_weight), _EPS)
+    resp = jnp.ones((X.shape[0], 1), dtype=X.dtype)
+    pi, means, covs = _m_step(X, resp, sw, covariance_type)
+    lb = _lower_bound(X, pi, means, covs, sw, reg_covar)
+    return GMMParams(
+        weights=pi,
+        means=means,
+        covariances=covs,
+        lower_bound=lb,
+        n_iter=jnp.asarray(1, jnp.int32),
+    )
+
+
 def gmm_predict(params: GMMParams, X: jnp.ndarray, reg_covar: float = 1e-6) -> jnp.ndarray:
     """Hard assignment by max posterior (cluster.py:285-308)."""
     log_probs = jax.vmap(
@@ -404,8 +432,8 @@ def _split_round(
 
     keys = jax.random.split(key, k_max)
     p1 = jax.vmap(
-        lambda k, w: gmm_fit(k, Xw, w, 1, covariance_type, n_init=n_init)
-    )(keys, leaf_w)
+        lambda w: _single_component_fit(Xw, w, covariance_type)
+    )(leaf_w)
     p2 = jax.vmap(
         lambda k, w: gmm_fit(k, Xw, w, 2, covariance_type, n_init=n_init)
     )(keys, leaf_w)
@@ -581,10 +609,9 @@ def _final_refit(
     leaf_ids = jnp.arange(k_max)
     members = labels[None, :] == leaf_ids[:, None]
     leaf_w = jnp.where(members, sample_weight[None, :], 0.0)
-    keys = jax.random.split(key, k_max)
     p = jax.vmap(
-        lambda k, w: gmm_fit(k, Xw, w, 1, covariance_type, n_init=n_init)
-    )(keys, leaf_w)
+        lambda w: _single_component_fit(Xw, w, covariance_type)
+    )(leaf_w)
     n_members = jnp.sum(members, axis=1)
 
     # Tiny leaves (< d members): plain mean + identity covariance

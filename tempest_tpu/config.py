@@ -98,6 +98,15 @@ class SamplerConfig:
     mesh: Any = None  # optional jax.sharding.Mesh; None = single device
     particle_axis: str = "particles"  # mesh axis name for particle sharding
     history_capacity: int = DEFAULT_HISTORY_CAPACITY
+    # True (the default unless the user passes an explicit
+    # history_capacity) lets run() pre-grow the history to an
+    # n_total-derived estimate BEFORE the first compile, so a typical
+    # annealing never hits the capacity wall mid-run. Growth re-specializes
+    # every jitted program on the new shapes — a cold whole-run fused
+    # compile is minutes on a remote TPU — so one generous upfront
+    # allocation beats a guaranteed mid-run doubling (the old default of
+    # 16 slots forced one on essentially every real problem).
+    auto_capacity: bool = True
     k_max: int = DEFAULT_K_MAX  # padded cluster-count cap for fixed shapes
     donate_state: bool = True  # donate buffers to jitted steps
     # False disables the fused single-dispatch iteration in favor of the

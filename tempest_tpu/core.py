@@ -234,6 +234,30 @@ class SamplerCore:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    def _pregrow_capacity(self):
+        """Pre-size the history so a typical run never grows mid-flight.
+
+        Growing re-specializes every jitted program on the new shapes (a
+        cold whole-run fused compile is minutes on a remote TPU), so when
+        the user left history_capacity at its default we allocate an
+        n_total-derived estimate up front: the post-beta=1 phase needs
+        ~n_total/n_particles commits and an adaptive ESS ladder typically
+        takes ~40 (the canonical clustered flagship uses 47 slots total).
+        Exceptionally long ladders (e.g. 100-D Rosenbrock, ~180 steps)
+        still fall back to geometric growth."""
+        if not getattr(self.config, "auto_capacity", False) or self.n_total is None:
+            return
+        need = -(-int(self.n_total) // self.n_particles) + 40
+        need = -(-need // 16) * 16  # round up to a multiple of 16
+        if self.hist.capacity < need:
+            self.hist = grow_history(self.hist, need)
+            if self.mesh is not None:
+                from .parallel.mesh import shard_history
+
+                self.hist = shard_history(
+                    self.hist, self.mesh, self.config.particle_axis
+                )
+
     def _ensure_capacity(self):
         if int(self.hist.t) >= self.hist.capacity:
             self.hist = grow_history(self.hist, self.hist.capacity * 2)
@@ -267,6 +291,7 @@ class SamplerCore:
 
         self.n_total = int(n_total)
         self.t0 = t0
+        self._pregrow_capacity()
         self.pbar = ProgressBar(progress, initial=t0)
         if self.pbar.enabled:
             self.pbar.update_stats(

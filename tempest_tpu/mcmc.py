@@ -94,6 +94,27 @@ def _mode_matmul(z: jnp.ndarray, assignments: jnp.ndarray, mats: jnp.ndarray) ->
     return jax.lax.fori_loop(0, K, body, jnp.zeros_like(z))
 
 
+# Above this many gathered-matrix elements (N * d^2) the per-walker
+# Cholesky/inverse gather is a memory hazard and the K-loop formulations
+# above are used instead. Below it, the gather is materialized ONCE before
+# the MCMC while_loop and each step runs 3 dense batched einsums instead of
+# 3 * K_max sequential masked matmuls — the K-loop's sequential small ops
+# dominated the measured per-step cost at flagship scale (N=1024, d=10,
+# K=16: ~48 tiny matmuls per step).
+_GATHER_ELEMS_LIMIT = 1 << 25  # 33.5M elems = 134 MB fp32 per matrix set
+
+
+def _gathered_quadratic(diff: jnp.ndarray, mats_w: jnp.ndarray) -> jnp.ndarray:
+    """diff_n^T M_n diff_n for pre-gathered per-walker matrices (N, d, d)."""
+    v = jnp.einsum("nj,nji->ni", diff, mats_w)
+    return jnp.sum(v * diff, axis=1)
+
+
+def _gathered_matmul(z: jnp.ndarray, mats_w: jnp.ndarray) -> jnp.ndarray:
+    """z_rn @ M_n^T for pre-gathered per-walker matrices: (R, N, d)."""
+    return jnp.einsum("rnj,nij->rni", z, mats_w)
+
+
 def make_mcmc_kernel(
     log_likelihood_batch: Callable,
     prior_transform_batch: Callable,
@@ -123,7 +144,7 @@ def make_mcmc_kernel(
     sigma_cap = jnp.minimum(sigma_0, 0.99)
     is_tpcn = method == "tpcn"
 
-    def propose(key, u, diff, mu, assignments, chol_all, sigma_w, scale_w):
+    def propose(key, u, diff, mu, mode_step, sigma_w, scale_w):
         """Multi-candidate proposal; returns (proposal, valid) per walker.
 
         The reference redraws each out-of-bounds walker until it lands in
@@ -139,7 +160,7 @@ def make_mcmc_kernel(
         """
         R = n_candidates
         z = jax.random.normal(key, (R,) + u.shape, dtype=u.dtype)  # (R, N, d)
-        step = _mode_matmul(z, assignments, chol_all)  # z_rn @ L_{a(n)}^T
+        step = mode_step(z)  # z_rn @ L_{a(n)}^T
         if is_tpcn:
             cand = (
                 mu
@@ -177,8 +198,22 @@ def make_mcmc_kernel(
 
         mu = modes.means[assignments]  # (N, d)
         dof_w = modes.degrees_of_freedom[assignments]  # (N,)
-        chol_all = modes.chol_covariances  # (K, d, d) — never gathered per walker
+        chol_all = modes.chol_covariances  # (K, d, d)
         inv_all = modes.inv_covariances  # (K, d, d)
+
+        # Assignments are frozen for the whole mutation, so at small/medium
+        # scale the per-walker matrices are gathered ONCE here and every
+        # step runs dense batched einsums; past _GATHER_ELEMS_LIMIT the
+        # (N, d, d) buffers are a memory hazard and the K-loop masked
+        # formulations are used instead (shape-static choice at trace time).
+        if n_walkers * n_dim * n_dim <= _GATHER_ELEMS_LIMIT:
+            chol_w = chol_all[assignments]  # (N, d, d)
+            inv_w = inv_all[assignments]
+            quad = lambda diff: _gathered_quadratic(diff, inv_w)
+            mode_step = lambda z: _gathered_matmul(z, chol_w)
+        else:
+            quad = lambda diff: _mode_quadratic(diff, assignments, inv_all)
+            mode_step = lambda z: _mode_matmul(z, assignments, chol_all)
 
         onehot = (assignments[:, None] == jnp.arange(k_max)[None, :]).astype(dtype)
         count_k = jnp.sum(onehot, axis=0)  # (k_max,)
@@ -200,7 +235,7 @@ def make_mcmc_kernel(
             diff = u - mu
             if is_tpcn:
                 # inverse-gamma mixture scale per walker (mcmc.py:233-236)
-                dot = _mode_quadratic(diff, assignments, inv_all)
+                dot = quad(diff)
                 g_shape = (n_dim + dof_w) / 2.0
                 g_scale = 2.0 / (dof_w + dot)
                 g = jax.random.gamma(k_g, g_shape, dtype=dtype)
@@ -211,7 +246,7 @@ def make_mcmc_kernel(
                 scale_w = jnp.ones_like(logl)
 
             u_prime, valid = propose(
-                k_p, u, diff, mu, assignments, chol_all, sigma_w, scale_w
+                k_p, u, diff, mu, mode_step, sigma_w, scale_w
             )
             x_prime = prior_transform_batch(u_prime)
             logl_prime, blobs_prime = log_likelihood_batch(x_prime)
@@ -220,7 +255,7 @@ def make_mcmc_kernel(
             if is_tpcn:
                 # Student-t log-density ratio (mcmc.py:251-279)
                 diff_p = u_prime - mu
-                dot_p = _mode_quadratic(diff_p, assignments, inv_all)
+                dot_p = quad(diff_p)
                 coeff = -0.5 * (n_dim + dof_w)
                 log_cur = coeff * jnp.log1p(dot / dof_w)
                 log_prp = coeff * jnp.log1p(dot_p / dof_w)

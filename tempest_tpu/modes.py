@@ -100,7 +100,7 @@ def identity_mode_statistics(n_dim: int, k_max: int = 1, dof: float = 1e6, dtype
     )
 
 
-def _fit_one_mode(u, w_cluster, dof_fallback):
+def _fit_one_mode(u, w_cluster, dof_fallback, sort_cache=None):
     """Weighted Student-t fit for one mode's weights.
 
     `w_cluster` is zero outside the mode; empty modes get identity stats.
@@ -109,11 +109,13 @@ def _fit_one_mode(u, w_cluster, dof_fallback):
     sufficient-statistics EM (student.fit_mvstud_weighted) targets the same
     distribution without the resampling noise and at O(n) instead of
     O(4*N_total) work per mode — measured ~4x faster clustered iterations.
+    `sort_cache` is the shared per-dimension sort of `u` (all modes fit the
+    same points under different weights, so it is computed once).
     """
     d = u.shape[1]
     total = jnp.sum(w_cluster)
     empty = total <= 0.0
-    mean, cov, dof = fit_mvstud_weighted(u, w_cluster)
+    mean, cov, dof = fit_mvstud_weighted(u, w_cluster, sort_cache=sort_cache)
     dof = jnp.where(jnp.isfinite(dof), dof, dof_fallback)
     mean = jnp.where(empty, jnp.zeros_like(mean), mean)
     cov = jnp.where(empty, jnp.eye(d, dtype=cov.dtype), cov)
@@ -138,8 +140,10 @@ def fit_mode_statistics(
     """
     onehot = labels[None, :] == jnp.arange(k_max)[:, None]  # (k_max, n)
     w_k = jnp.where(onehot, weights[None, :], 0.0)  # (k_max, n)
+    order = jnp.argsort(u, axis=0)
+    sort_cache = (jnp.take_along_axis(u, order, axis=0), order)
     means, covs, dofs, mask = jax.vmap(
-        lambda wk: _fit_one_mode(u, wk, dof_fallback)
+        lambda wk: _fit_one_mode(u, wk, dof_fallback, sort_cache)
     )(w_k)
     covs, chols, invs = jax.vmap(_decompose)(covs)
     return ModeStatistics(

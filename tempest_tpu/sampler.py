@@ -72,6 +72,7 @@ class Sampler:
             extra["k_max"] = k_max
         if history_capacity is not None:
             extra["history_capacity"] = history_capacity
+            extra["auto_capacity"] = False  # user-fixed; run() won't pre-grow
         if blob_size is not None:
             extra["blob_size"] = blob_size
         if n_candidates is not None:

@@ -185,19 +185,31 @@ def fit_mvstud(
     return mu, Sigma, nu
 
 
+def _weighted_median_presorted(
+    d_sorted: jnp.ndarray, order: jnp.ndarray, wbar: jnp.ndarray
+) -> jnp.ndarray:
+    """Weighted median given the per-dimension sort of the data.
+
+    `d_sorted`/`order` are `jnp.sort/argsort(data, axis=0)`. Splitting the
+    sort out lets callers that fit MANY weightings of the SAME points
+    (the per-mode fits: one shared data array, per-mode weights) pay for
+    the d column sorts once instead of once per mode."""
+    w_sorted = wbar[order]  # (n, d)
+    cum = jnp.cumsum(w_sorted, axis=0)
+    # first index with cumulative weight >= 1/2
+    idx = jnp.argmax(cum >= 0.5 - 1e-7, axis=0)  # (d,)
+    return jnp.take_along_axis(d_sorted, idx[None, :], axis=0)[0]
+
+
 def _weighted_median(data: jnp.ndarray, wbar: jnp.ndarray) -> jnp.ndarray:
     """Per-dimension weighted median of (n, d) data with normalized weights.
 
     Reduces to the (lower) sample median at uniform weights — the robust
     location init the reference uses (student.py:60)."""
     order = jnp.argsort(data, axis=0)  # (n, d)
-    w_sorted = wbar[order]  # (n, d)
-    cum = jnp.cumsum(w_sorted, axis=0)
-    # first index with cumulative weight >= 1/2
-    idx = jnp.argmax(cum >= 0.5 - 1e-7, axis=0)  # (d,)
-    return jnp.take_along_axis(
-        jnp.take_along_axis(data, order, axis=0), idx[None, :], axis=0
-    )[0]
+    return _weighted_median_presorted(
+        jnp.take_along_axis(data, order, axis=0), order, wbar
+    )
 
 
 @jax.jit
@@ -206,6 +218,7 @@ def fit_mvstud_weighted(
     weights: jnp.ndarray,
     tolerance: float = 1e-6,
     max_iter: int = 100,
+    sort_cache=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Weighted multivariate Student-t EM. data (n, dim), weights (n,).
 
@@ -219,6 +232,10 @@ def fit_mvstud_weighted(
     the resampling noise and without materializing the enlarged sample.
 
     Returns (mu, Sigma, nu); nu == +inf signals the Gaussian limit.
+    `sort_cache`, if given, is `(jnp.sort(data, axis=0),
+    jnp.argsort(data, axis=0))` — callers fitting many weightings of the
+    same points (modes.fit_mode_statistics) precompute it once so the
+    median init's column sorts are not repeated per mode.
     """
     data = jnp.asarray(data)
     weights = jnp.asarray(weights, data.dtype)
@@ -230,7 +247,10 @@ def fit_mvstud_weighted(
     # Effective sample count: plays n's role in the covariance-ridge init.
     n_eff = 1.0 / jnp.maximum(jnp.sum(wbar * wbar), jnp.finfo(fdtype).tiny)
 
-    mu0 = _weighted_median(data, wbar)
+    if sort_cache is None:
+        mu0 = _weighted_median(data, wbar)
+    else:
+        mu0 = _weighted_median_presorted(sort_cache[0], sort_cache[1], wbar)
     wmean = jnp.sum(wbar[:, None] * data, axis=0)
     xc = data - wmean
     cov_w = (xc.T * wbar) @ xc

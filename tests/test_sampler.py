@@ -370,6 +370,32 @@ class TestEdgeCases:
         assert int(s.state.hist.t) > 2
         assert abs(s.evidence()[0] - TRUE_LOGZ) < 0.6
 
+    def test_auto_capacity_pregrows(self):
+        # Default (no history_capacity given): run() pre-sizes the history
+        # from n_total so a typical run never recompiles mid-flight.
+        s = Sampler(
+            prior_transform, log_likelihood, n_dim=N_DIM, n_particles=64,
+            clustering=False, random_state=0,
+        )
+        assert s._core.config.auto_capacity
+        s.run(n_total=256, progress=False)
+        need = -(-256 // 64) + 40
+        assert s.state.hist.capacity >= need
+        assert int(s.state.hist.t) <= s.state.hist.capacity
+        assert abs(s.evidence()[0] - TRUE_LOGZ) < 0.6
+
+    def test_explicit_capacity_not_pregrown(self):
+        # An explicit history_capacity disables the auto pre-grow: the
+        # buffer stays at the requested size unless the run actually
+        # overflows it (geometric growth still applies then).
+        s = Sampler(
+            prior_transform, log_likelihood, n_dim=N_DIM, n_particles=64,
+            clustering=False, random_state=0, history_capacity=32,
+        )
+        assert not s._core.config.auto_capacity
+        s.run(n_total=128, progress=False)
+        assert s.state.hist.capacity == 32
+
 
 class TestPickling:
     def test_pickle_roundtrip_mid_run(self):
