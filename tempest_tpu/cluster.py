@@ -142,21 +142,125 @@ def _m_step(X, resp, sample_weight, covariance_type: str):
     return pi, means, covs
 
 
-def _e_step(X, pi, means, covs, reg_covar):
+def _e_step(X, pi, means, covs, reg_covar, sample_weight=None):
     """Responsibilities in linear space with +eps normalization
-    (cluster.py:172-193)."""
+    (cluster.py:172-193).
+
+    Also returns the weighted lower bound AT THESE PARAMETERS (free once
+    the per-point likelihoods are in hand) so the EM loop needs a single
+    `_log_gauss` chain per iteration instead of two — see `gmm_fit`.
+    """
     log_probs = jax.vmap(lambda m, c: _log_gauss(X, m, c, reg_covar))(means, covs)
     probs = pi[:, None] * jnp.exp(log_probs)  # (K, n)
+    lik = jnp.sum(probs, axis=0)  # (n,)
     resp = probs.T  # (n, K)
-    resp = resp / (jnp.sum(resp, axis=1, keepdims=True) + _EPS)
-    return resp
+    resp = resp / (lik[:, None] + _EPS)
+    lb = None
+    if sample_weight is not None:
+        lb = jnp.sum(sample_weight * jnp.log(lik + _EPS))
+    return resp, lb
+
+
+def _mixture_scores(X, pi, means, covs, reg_covar):
+    """Per-point per-component weighted log-densities and mixture likelihood.
+
+    One density pass serves the lower bound, the BIC, and hard prediction;
+    the split round reuses it instead of re-deriving `_log_gauss` chains
+    for each consumer (the chains are the sequential-depth cost of the
+    whole hierarchical fit on TPU).
+    """
+    log_probs = jax.vmap(lambda m, c: _log_gauss(X, m, c, reg_covar))(means, covs)
+    lik = jnp.sum(pi[:, None] * jnp.exp(log_probs), axis=0)  # (n,)
+    return log_probs, lik
 
 
 def _lower_bound(X, pi, means, covs, sample_weight, reg_covar):
     """Weighted log-likelihood bound (cluster.py:264-283)."""
-    log_probs = jax.vmap(lambda m, c: _log_gauss(X, m, c, reg_covar))(means, covs)
-    lik = jnp.sum(pi[:, None] * jnp.exp(log_probs), axis=0)  # (n,)
+    _, lik = _mixture_scores(X, pi, means, covs, reg_covar)
     return jnp.sum(sample_weight * jnp.log(lik + _EPS))
+
+
+def _gmm_fit_scores(
+    key: jax.Array,
+    X: jnp.ndarray,
+    sample_weight: jnp.ndarray,
+    n_components: int,
+    covariance_type: str = "full",
+    max_iter: int = 1000,
+    tol: float = 1e-3,
+    reg_covar: float = 1e-6,
+    n_init: int = 1,
+):
+    """Weighted GMM EM returning (params, per-point (K, n) scores, (n,) lik).
+
+    The scores are the weighted log-densities at the FINAL parameters —
+    the same pass that produces the returned lower bound — so callers
+    (BIC, hard prediction in the split round) reuse them instead of
+    recomputing the density chain. See `gmm_fit` for semantics.
+    """
+    sw = sample_weight / jnp.maximum(jnp.sum(sample_weight), _EPS)
+
+    def single_fit(key: jax.Array) -> GMMParams:
+        resp0 = _kmeanspp_init(key, X, sw, n_components)
+        pi0, means0, covs0 = _m_step(X, resp0, sw, covariance_type)
+
+        def cond(c):
+            return (~c["done"]) & (c["i"] < max_iter)
+
+        def body(c):
+            # One `_log_gauss` chain per iteration: the E-step's per-point
+            # mixture likelihoods give the bound at the CURRENT params, so
+            # convergence compares LB(theta_t) - LB(theta_{t-1}) — the same
+            # monotone sequence the reference checks (cluster.py:103-118),
+            # offset by one M-step; the reference recomputes the bound at
+            # the post-M-step params with a second density pass, doubling
+            # the per-iteration Cholesky/solve chain for an identical
+            # stopping rule up to one extra (strictly improving) iteration.
+            resp, new_lb = _e_step(
+                X, c["pi"], c["means"], c["covs"], reg_covar, sw
+            )
+            done = (new_lb - c["lb"]) < tol
+            pi, means, covs = _m_step(X, resp, sw, covariance_type)
+            pi = jnp.where(done, c["pi"], pi)
+            means = jnp.where(done, c["means"], means)
+            covs = jnp.where(done, c["covs"], covs)
+            lb = jnp.where(done, c["lb"], new_lb)
+            return {
+                "pi": pi, "means": means, "covs": covs,
+                "lb": lb, "i": c["i"] + 1, "done": done,
+            }
+
+        init = {
+            "pi": pi0, "means": means0, "covs": covs0,
+            "lb": jnp.asarray(-jnp.inf, X.dtype),
+            "i": jnp.asarray(0, jnp.int32),
+            "done": jnp.asarray(False),
+        }
+        out = jax.lax.while_loop(cond, body, init)
+        # Reference keeps the last computed bound even when it triggered the
+        # break (cluster.py:113-126 stores best over inits).
+        log_probs, lik = _mixture_scores(
+            X, out["pi"], out["means"], out["covs"], reg_covar
+        )
+        final_lb = jnp.sum(sw * jnp.log(lik + _EPS))
+        params = GMMParams(
+            weights=out["pi"],
+            means=out["means"],
+            covariances=out["covs"],
+            lower_bound=final_lb,
+            n_iter=out["i"],
+        )
+        return params, log_probs, lik
+
+    if n_init <= 1:
+        return single_fit(key)
+    fits, log_probs, lik = jax.vmap(single_fit)(jax.random.split(key, n_init))
+    best = jnp.argmax(jnp.nan_to_num(fits.lower_bound, nan=-jnp.inf))
+    return (
+        jax.tree_util.tree_map(lambda a: a[best], fits),
+        log_probs[best],
+        lik[best],
+    )
 
 
 @partial(jax.jit, static_argnames=("n_components", "covariance_type", "max_iter", "n_init"))
@@ -178,57 +282,19 @@ def gmm_fit(
     weighted lower bound — parity with the reference's restart loop
     (cluster.py:97-131).
     """
-    sw = sample_weight / jnp.maximum(jnp.sum(sample_weight), _EPS)
-
-    def single_fit(key: jax.Array) -> GMMParams:
-        resp0 = _kmeanspp_init(key, X, sw, n_components)
-        pi0, means0, covs0 = _m_step(X, resp0, sw, covariance_type)
-
-        def cond(c):
-            return (~c["done"]) & (c["i"] < max_iter)
-
-        def body(c):
-            resp = _e_step(X, c["pi"], c["means"], c["covs"], reg_covar)
-            pi, means, covs = _m_step(X, resp, sw, covariance_type)
-            new_lb = _lower_bound(X, pi, means, covs, sw, reg_covar)
-            done = (new_lb - c["lb"]) < tol
-            lb = jnp.where(done, c["lb"], new_lb)
-            return {
-                "pi": pi, "means": means, "covs": covs,
-                "lb": lb, "i": c["i"] + 1, "done": done,
-            }
-
-        init = {
-            "pi": pi0, "means": means0, "covs": covs0,
-            "lb": jnp.asarray(-jnp.inf, X.dtype),
-            "i": jnp.asarray(0, jnp.int32),
-            "done": jnp.asarray(False),
-        }
-        out = jax.lax.while_loop(cond, body, init)
-        # Reference keeps the last computed bound even when it triggered the
-        # break (cluster.py:113-126 stores best over inits).
-        final_lb = _lower_bound(X, out["pi"], out["means"], out["covs"], sw, reg_covar)
-        return GMMParams(
-            weights=out["pi"],
-            means=out["means"],
-            covariances=out["covs"],
-            lower_bound=final_lb,
-            n_iter=out["i"],
-        )
-
-    if n_init <= 1:
-        return single_fit(key)
-    fits = jax.vmap(single_fit)(jax.random.split(key, n_init))
-    best = jnp.argmax(jnp.nan_to_num(fits.lower_bound, nan=-jnp.inf))
-    return jax.tree_util.tree_map(lambda a: a[best], fits)
+    params, _, _ = _gmm_fit_scores(
+        key, X, sample_weight, n_components, covariance_type,
+        max_iter, tol, reg_covar, n_init,
+    )
+    return params
 
 
-def _single_component_fit(
+def _single_component_fit_scores(
     X: jnp.ndarray,
     sample_weight: jnp.ndarray,
     covariance_type: str = "full",
     reg_covar: float = 1e-6,
-) -> GMMParams:
+):
     """Exact K=1 weighted 'GMM' fit — one closed-form M-step.
 
     For a single component the EM fixed point is reached immediately
@@ -237,18 +303,60 @@ def _single_component_fit(
     returns exactly this after its convergence check. The hierarchical
     splitter evaluates a K=1 fit for every leaf every round, so skipping
     the k-means++ init and the while_loop there removes most of its
-    sequential depth."""
+    sequential depth. Returns (params, (n,) per-point likelihood) so the
+    BIC reuses the bound's density pass."""
     sw = sample_weight / jnp.maximum(jnp.sum(sample_weight), _EPS)
     resp = jnp.ones((X.shape[0], 1), dtype=X.dtype)
     pi, means, covs = _m_step(X, resp, sw, covariance_type)
-    lb = _lower_bound(X, pi, means, covs, sw, reg_covar)
-    return GMMParams(
+    _, lik = _mixture_scores(X, pi, means, covs, reg_covar)
+    lb = jnp.sum(sw * jnp.log(lik + _EPS))
+    params = GMMParams(
         weights=pi,
         means=means,
         covariances=covs,
         lower_bound=lb,
         n_iter=jnp.asarray(1, jnp.int32),
     )
+    return params, lik
+
+
+def _single_component_fit(
+    X: jnp.ndarray,
+    sample_weight: jnp.ndarray,
+    covariance_type: str = "full",
+    reg_covar: float = 1e-6,
+) -> GMMParams:
+    return _single_component_fit_scores(X, sample_weight, covariance_type, reg_covar)[0]
+
+
+def _bic_from_lik(
+    lik: jnp.ndarray,
+    mask: jnp.ndarray,
+    n_components: int,
+    n_features: int,
+    covariance_type: str,
+) -> jnp.ndarray:
+    """BIC from a precomputed per-point mixture likelihood.
+
+    Same statistic as `gmm_bic` (uniform 1/n_leaf weights over the leaf
+    members, n_samples = n_leaf; per-type free-parameter counts of
+    cluster.py:310-340) without re-running the density chain.
+    """
+    d, K = n_features, n_components
+    if covariance_type == "full":
+        cov_params = K * d * (d + 1) / 2
+    elif covariance_type == "tied":
+        cov_params = d * (d + 1) / 2
+    elif covariance_type == "diag":
+        cov_params = K * d
+    elif covariance_type == "spherical":
+        cov_params = K
+    else:
+        raise ValueError(f"Unknown covariance_type {covariance_type}")
+    n_parameters = (K - 1) + K * d + cov_params
+    n_leaf = jnp.sum(mask).astype(lik.dtype)
+    ll = jnp.sum(jnp.where(mask, jnp.log(lik + _EPS), 0.0))
+    return -2.0 * ll + n_parameters * jnp.log(jnp.maximum(n_leaf, 1.0))
 
 
 def gmm_predict(params: GMMParams, X: jnp.ndarray, reg_covar: float = 1e-6) -> jnp.ndarray:
@@ -431,17 +539,31 @@ def _split_round(
     thresholds = threshold_modifier * n_params * jnp.log(jnp.maximum(n_eff, 1.0))
 
     keys = jax.random.split(key, k_max)
-    p1 = jax.vmap(
-        lambda w: _single_component_fit(Xw, w, covariance_type)
+    # One density pass per fit: the K=1/K=2 fits return the per-point
+    # likelihoods (and K=2 the per-component scores) evaluated at their
+    # final parameters, which the BIC gates and the child prediction
+    # consume directly — the reference re-runs the density chain for
+    # `bic()` and `predict()` after each `fit()` (cluster.py:468,477,493).
+    p1, lik1 = jax.vmap(
+        lambda w: _single_component_fit_scores(Xw, w, covariance_type)
     )(leaf_w)
-    p2 = jax.vmap(
-        lambda k, w: gmm_fit(k, Xw, w, 2, covariance_type, n_init=n_init)
+    p2, scores2, lik2 = jax.vmap(
+        lambda k, w: _gmm_fit_scores(k, Xw, w, 2, covariance_type, n_init=n_init)
     )(keys, leaf_w)
-    bic1 = jax.vmap(lambda p, m: gmm_bic(p, Xw, m, covariance_type))(p1, members)
-    bic2 = jax.vmap(lambda p, m: gmm_bic(p, Xw, m, covariance_type))(p2, members)
+    d_feat = Xw.shape[1]
+    bic1 = jax.vmap(
+        lambda l, m: _bic_from_lik(l, m, 1, d_feat, covariance_type)
+    )(lik1, members)
+    bic2 = jax.vmap(
+        lambda l, m: _bic_from_lik(l, m, 2, d_feat, covariance_type)
+    )(lik2, members)
     improvement = bic1 - bic2
 
-    child = jax.vmap(lambda p: gmm_predict(p, Xw))(p2)  # (k_max, n)
+    # Hard assignment by max posterior, reusing the fit's scores
+    # (== gmm_predict(p2, Xw), cluster.py:285-308)
+    child = jnp.argmax(
+        jnp.log(p2.weights + _EPS)[:, :, None] + scores2, axis=1
+    ).astype(jnp.int32)  # (k_max, n)
     c0 = jnp.sum(members & (child == 0), axis=1)
     c1 = jnp.sum(members & (child == 1), axis=1)
 
