@@ -173,3 +173,55 @@ class TestNInitRestarts:
         assert h.n_clusters_ == 2
         labels = h.predict(X)
         assert len(np.unique(labels)) == 2
+
+
+class TestScoresReusePaths:
+    """The round-3 one-density-pass restructuring must agree exactly with
+    the reference-shaped standalone functions it replaced."""
+
+    def test_bic_from_lik_matches_gmm_bic(self):
+        from tempest_tpu.cluster import _bic_from_lik, _gmm_fit_scores
+
+        X = jnp.asarray(two_blobs(150, seed=3))
+        w = jnp.asarray(np.random.default_rng(3).exponential(size=300))
+        p, scores, lik = _gmm_fit_scores(jax.random.PRNGKey(0), X, w, 2)
+        mask = jnp.arange(300) < 260  # uneven leaf membership
+        ref = gmm_bic(p, X, mask, "full")
+        fast = _bic_from_lik(lik, mask, 2, X.shape[1], "full")
+        assert np.isclose(float(ref), float(fast), rtol=1e-5)
+
+    def test_child_from_scores_matches_gmm_predict(self):
+        from tempest_tpu.cluster import _EPS, _gmm_fit_scores
+
+        X = jnp.asarray(two_blobs(120, seed=4))
+        w = jnp.ones((240,))
+        p, scores, _ = _gmm_fit_scores(jax.random.PRNGKey(1), X, w, 2)
+        child = jnp.argmax(jnp.log(p.weights + _EPS)[:, None] + scores, axis=0)
+        ref = gmm_predict(p, X)
+        assert np.array_equal(np.asarray(child), np.asarray(ref))
+
+    def test_single_component_scores_match_wrapper(self):
+        from tempest_tpu.cluster import (
+            _single_component_fit,
+            _single_component_fit_scores,
+        )
+
+        X = jnp.asarray(two_blobs(100, seed=5))
+        w = jnp.asarray(np.random.default_rng(5).exponential(size=200))
+        pw = _single_component_fit(X, w)
+        ps, lik = _single_component_fit_scores(X, w)
+        assert np.allclose(np.asarray(pw.means), np.asarray(ps.means))
+        assert np.isclose(float(pw.lower_bound), float(ps.lower_bound))
+        assert lik.shape == (200,) and bool(jnp.all(lik >= 0.0))
+
+    def test_em_one_pass_convergence_keeps_converged_params(self):
+        # When the bound improvement falls below tol, the loop must retain
+        # the PRE-M-step (converged) parameters, not apply a further step.
+        X = jnp.asarray(two_blobs(200, seed=6))
+        p_tight = gmm_fit(jax.random.PRNGKey(2), X, jnp.ones(400), 2, tol=1e-3)
+        p_loose = gmm_fit(jax.random.PRNGKey(2), X, jnp.ones(400), 2, tol=10.0)
+        # loose tol stops almost immediately; both must still be valid fits
+        for p in (p_tight, p_loose):
+            assert np.all(np.isfinite(np.asarray(p.means)))
+            assert float(jnp.sum(p.weights)) == pytest.approx(1.0, abs=1e-5)
+        assert int(p_loose.n_iter) <= int(p_tight.n_iter)
