@@ -234,6 +234,60 @@ def main():
     timeit("cluster predict (active N)", predict_j,
            lambda i: (model, u_active * (1.0 + 1e-6 * i)))
 
+    # --- on-device repeat harness (authoritative geometry numbers) --------
+    # The axon tunnel costs ~35 ms per dispatch+fetch and block_until_ready
+    # can return early, so the per-call rows above bound but do not resolve
+    # sub-10ms kernels. Here each stage runs R times inside ONE jitted
+    # fori_loop on index-perturbed inputs (distinct inputs defeat the relay
+    # memoizer), timed to a genuine value fetch: t = (wall - tunnel)/R.
+    print("--- on-device fori-repeat (R=20), per call ---")
+    from functools import partial as _partial
+
+    def fori_time(name, stage_fn, R=20):
+        @_partial(jax.jit, static_argnames=("reps",))
+        def rep(w0, reps):
+            def body(i, acc):
+                return acc + stage_fn(w0 * (1.0 + 0.01 * jnp.float32(i)))
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+        float(rep(w_sel, R))  # compile + first exec
+        samples = []
+        for t in range(3):
+            t0 = time.time()
+            float(rep(w_sel * (1.0001 + 0.001 * t), R))
+            samples.append((time.time() - t0) / R * 1e3)
+        print(f"{name:<28s} {sorted(samples)[1]:8.2f} ms")
+
+    fori_time(
+        "hgm fit (top-4096)",
+        lambda w: jnp.sum(
+            hgm_fit(
+                keys[0], u_sub, w, keep_sub,
+                jnp.asarray(2 * N_DIM, jnp.int32),
+                jnp.asarray(1.0, jnp.float32),
+                K_MAX, "full", K_MAX - 1, True, 1, True,
+            )[0].centers
+        ),
+    )
+    fori_time(
+        "per-mode student-t (top-4096)",
+        lambda w: jnp.sum(
+            fit_mode_statistics(
+                u_sub, w, labels_sub, k_max=K_MAX, dof_fallback=DOF_FALLBACK
+            ).means
+        ),
+    )
+    fori_time(
+        # input perturbed via mean(w), which varies per loop iteration, so
+        # XLA cannot hoist the predict out of the repeat loop
+        "cluster predict (top-4096)",
+        lambda w: jnp.sum(
+            cluster_predict(
+                model, u_sub * (1.0 + 1e-6 * jnp.mean(w))
+            ).astype(jnp.float32)
+        ),
+    )
+
 
 if __name__ == "__main__":
     main()

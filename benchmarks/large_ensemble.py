@@ -41,6 +41,16 @@ def main():
     p.add_argument("--capacity", type=int, default=48)
     p.add_argument("--train-max-points", type=int, default=8192)
     p.add_argument("--json", default="benchmarks/results/large_ensemble_tpu.json")
+    p.add_argument(
+        "--whole-run-fused", action="store_true",
+        help="dispatch the entire annealing as ONE device program. The "
+        "default is the host-loop (one fused-iteration dispatch per "
+        "iteration, donated buffers): at multi-GB ensemble sizes the "
+        "whole-run program's loop-carry double-buffering exceeds HBM and "
+        "crashes the worker, while per-iteration dispatch holds one live "
+        "history copy; the ~35 ms/iteration tunnel overhead is noise "
+        "against multi-second iterations at this scale.",
+    )
     args = p.parse_args()
 
     from tempest_tpu import Sampler
@@ -84,7 +94,7 @@ def main():
 
     def one_run(s, label, n_total):
         t0 = time.time()
-        s.run(n_total=n_total, progress=False, on_device=True)
+        s.run(n_total=n_total, progress=False, on_device=args.whole_run_fused)
         _ = float(jnp.sum(s.state.cur.logl))  # genuine value fetch ends timing
         wall = time.time() - t0
         logw, _ = compute_logw_and_logz(s.state.hist, 1.0)
