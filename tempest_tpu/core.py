@@ -412,6 +412,13 @@ class SamplerCore:
         if self.pbar is not None:
             self.pbar.update_iter()
 
+        # One key per iteration, split exactly as the fused iteration does
+        # (fused._mutate_branch): the per-stage host loop and the fused
+        # single-dispatch path then consume IDENTICAL RNG streams, so their
+        # ladders/ensembles agree (tests/test_tpu_smoke.py equality gate).
+        it_key = self._next_key()
+        k_train, k_res, k_mut = jax.random.split(it_key, 3)
+
         if int(self.hist.t) == 0:
             # --- first iteration: no reweighting possible -------------
             ess0 = cfg.ess_ratio * self.n_particles
@@ -421,7 +428,7 @@ class SamplerCore:
                 ess=jnp.asarray(ess0, self.dtype),
                 cv=jnp.asarray(0.0, self.dtype),
             )
-            self._run_warmup_mutation()
+            self._run_warmup_mutation(it_key)
         else:
             # --- reweight ---------------------------------------------
             with annotate("ps/reweight"):
@@ -443,7 +450,7 @@ class SamplerCore:
                 # Still at beta=0: the target is the prior, so train and
                 # resample are skipped and fresh prior samples are drawn
                 # (train.py:79-88, resample.py:68-72, mutate.py:99-149).
-                self._run_warmup_mutation()
+                self._run_warmup_mutation(it_key)
                 self._update_progress_bar()
                 self.hist = _commit_jit(self.hist, self.cur)
                 return self.get_current_dict()
@@ -451,13 +458,13 @@ class SamplerCore:
             # --- train -------------------------------------------------
             with annotate("ps/train"):
                 mode_stats = self.trainer.run(
-                    self._next_key(), self.hist, rw.weights, iteration
+                    k_train, self.hist, rw.weights, iteration
                 )
 
             # --- resample ---------------------------------------------
             with annotate("ps/resample"):
                 u, x, logl, blobs, assignments = resample_step(
-                    self._next_key(),
+                    k_res,
                     self.hist,
                     rw.weights,
                     self.trainer.cluster_model,
@@ -472,7 +479,7 @@ class SamplerCore:
             # --- mutate ------------------------------------------------
             with annotate("ps/mutate"):
                 res = self._mcmc(
-                    self._next_key(),
+                    k_mut,
                     self.cur.u, self.cur.x, self.cur.logl, self.cur.blobs,
                     self.cur.assignments, self.cur.beta, mode_stats,
                 )
@@ -504,10 +511,12 @@ class SamplerCore:
         ])
         sch.prune_store(live)
 
-    def _run_warmup_mutation(self):
+    def _run_warmup_mutation(self, key=None):
         """beta=0 mutation: fresh prior draws with the infinite-logl patch
-        and logZ correction (mutate.py:99-149)."""
-        wr = self._warmup(self._next_key())
+        and logZ correction (mutate.py:99-149). `key` is the iteration key
+        (the fused warm-up branch consumes the whole iteration key; passing
+        it here keeps both paths on identical streams)."""
+        wr = self._warmup(self._next_key() if key is None else key)
         self.cur = self.cur.replace(
             u=wr.u, x=wr.x, logl=wr.logl, blobs=wr.blobs,
             assignments=jnp.zeros((self.n_particles,), jnp.int32),

@@ -614,3 +614,41 @@ class TestSampleMethodBreadth:
             assert st["calls"] > prev["calls"]
             assert st["iter"] == prev["iter"] + 1
             prev = st
+
+
+class TestFusedHostEquality:
+    """The per-stage host loop and the fused single-dispatch iteration
+    consume identical RNG streams (one key per iteration, split
+    (train, resample, mutate); warm-up takes the whole iteration key) and
+    must therefore produce identical ladders and evidence on any backend.
+    TPU counterpart: tests/test_tpu_smoke.py::test_fused_vs_host_loop_equality."""
+
+    def _pair(self, clustering):
+        import jax.numpy as jnp
+        from tempest_tpu import Sampler
+
+        def prior(u):
+            return -10.0 + 20.0 * u
+
+        def loglike(x):
+            return -0.5 * jnp.sum(x * x, axis=-1)
+
+        out = []
+        for fused in (True, False):
+            s = Sampler(
+                prior, loglike, n_dim=3, n_particles=32, vectorize=True,
+                clustering=clustering, random_state=11, history_capacity=24,
+            )
+            s.run(n_total=64, progress=False)
+            out.append(s)
+        return out
+
+    @pytest.mark.parametrize("clustering", [False, True])
+    def test_identical_ladder_and_logz(self, clustering):
+        sf, sh = self._pair(clustering)
+        t_f, t_h = int(sf.state.hist.t), int(sh.state.hist.t)
+        assert t_f == t_h
+        bf = np.asarray(sf.state.hist.beta)[:t_f]
+        bh = np.asarray(sh.state.hist.beta)[:t_h]
+        assert np.array_equal(bf, bh)
+        assert float(sf.logz) == float(sh.logz)
