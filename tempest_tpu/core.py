@@ -321,11 +321,36 @@ class SamplerCore:
             )
         self.pbar.close()
 
+    # Above this history size the whole-run program's loop-carry
+    # double-buffering has been observed to exceed HBM and crash the TPU
+    # worker (not a clean OOM); the per-iteration host loop with donated
+    # buffers handles the same sizes fine (benchmarks/large_ensemble.py
+    # runs N=2^20 x capacity 48 through it). Measured threshold: ~2 GB of
+    # u+x history already faults on a 16 GB chip; warn well before that.
+    _ON_DEVICE_HISTORY_BYTES_WARN = 1 << 30
+
     def _run_on_device(self, n_total: int) -> None:
         """Drive the whole-run device loop, growing capacity and re-entering
         if the history fills before termination."""
         from .fused import make_fused_run
 
+        hist_bytes = (
+            2 * self.n_dim * self.hist.capacity * self.n_particles
+            * jnp.dtype(self.dtype).itemsize
+        )
+        if hist_bytes > self._ON_DEVICE_HISTORY_BYTES_WARN:
+            import warnings
+
+            warnings.warn(
+                f"on_device=True with a {hist_bytes / 2**30:.1f} GiB history: "
+                "the whole-run fused program double-buffers the history in "
+                "its loop carry and can exhaust HBM (worker crash) at "
+                "multi-GiB sizes. Prefer run(..., on_device=False) — the "
+                "per-iteration path donates buffers and handles these sizes "
+                "(see benchmarks/large_ensemble.py).",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         if not hasattr(self, "_fused_run"):
             self._fused_run = make_fused_run(
                 self.config, self._loglike_batch, self._prior_batch, self.have_blobs

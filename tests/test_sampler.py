@@ -652,3 +652,30 @@ class TestFusedHostEquality:
         bh = np.asarray(sh.state.hist.beta)[:t_h]
         assert np.array_equal(bf, bh)
         assert float(sf.logz) == float(sh.logz)
+
+    def test_on_device_large_history_warns(self):
+        # The warning must fire BEFORE the whole-run program is built, so
+        # stub the fused-run constructor: the test asserts the guard, not
+        # the (multi-GiB, deliberately avoided) compile.
+        import warnings
+        import jax.numpy as jnp
+        from tempest_tpu import Sampler
+
+        s = Sampler(
+            lambda u: u, lambda x: -jnp.sum(x * x, axis=-1), n_dim=64,
+            n_particles=2048, vectorize=True, random_state=0,
+            history_capacity=2048,  # 2*64*2048*2048*4B = 4 GiB > warn bar
+        )
+
+        class _Stop(Exception):
+            pass
+
+        def _boom(*a, **k):
+            raise _Stop()
+
+        s._core._fused_run = _boom
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            with pytest.raises(_Stop):
+                s._core._run_on_device(32)
+            assert any("double-buffers" in str(x.message) for x in w)
