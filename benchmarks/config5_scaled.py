@@ -1,0 +1,196 @@
+"""BASELINE config #5, shape-faithful scaled run to beta=1.
+
+The at-spec run (100-D Rosenbrock, N=2^20, sharded; BASELINE.json
+configs[4]) is compute-infeasible on this container's 2-core CPU mesh
+(~2.5 h per iteration; benchmarks/results/config5_sharded_cpu.json keeps
+the honest partial). This script runs the SAME problem shape — 100-D
+paired-free Rosenbrock, U(-10,10) prior, particle axis sharded over the
+8-virtual-device CPU mesh, fused per-iteration programs, tpCN mutation —
+at a particle count that completes the FULL annealing (beta = 1.0 and the
+posterior-ESS termination) in hours, then repeats the identical problem
+unsharded and asserts agreement:
+
+- beta ladder monotone, reaches 1.0
+- sharded and unsharded runs take identical ladders (same iteration count)
+- |logZ_sharded - logZ_unsharded| small (reduction-order float noise only)
+- the history keeps its particle-axis sharding end-to-end
+
+Writes benchmarks/results/config5_scaled_complete.json.
+
+Usage:
+    python benchmarks/config5_scaled.py [--n 4096] [--d 100] [--capacity 224]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+flags = os.environ.get("XLA_FLAGS", "")
+os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def rosenbrock(x):
+    return -jnp.sum(
+        100.0 * (x[..., 1:] - x[..., :-1] ** 2) ** 2 + (1.0 - x[..., :-1]) ** 2,
+        axis=-1,
+    )
+
+
+def run_one(mesh, args, label):
+    """One full annealing run; returns (sampler, per-iteration records)."""
+    from tempest_tpu import Sampler
+
+    s = Sampler(
+        lambda u: -10.0 + 20.0 * u,
+        rosenbrock,
+        n_dim=args.d,
+        n_particles=args.n,
+        vectorize=True,
+        clustering=False,  # Rosenbrock is a single curved mode (BASELINE cfg)
+        random_state=5,
+        history_capacity=args.capacity,
+        mesh=mesh,
+        n_candidates=1,
+        n_max_steps=args.n_max_steps,
+    )
+    s.state.n_total = 2 * args.n
+    records = []
+    # Manual host loop (same engine path as run(): fused per-iteration
+    # dispatch) so every iteration is logged for monitoring.
+    while s.state._not_termination() and int(s.state.hist.t) < args.capacity:
+        t0 = time.time()
+        st = s.state.execute_iteration()
+        wall = time.time() - t0
+        rec = {
+            "iter": st["iter"], "beta": st["beta"], "logz": st["logz"],
+            "ess": st["ess"], "steps": st["steps"],
+            "acceptance": round(st["acceptance"], 4), "wall_s": round(wall, 1),
+        }
+        records.append(rec)
+        print(json.dumps({"run": label, **rec}), flush=True)
+        assert np.isfinite(st["logz"]), "non-finite logZ"
+    # final evidence at beta=1 over the whole history
+    from tempest_tpu.state import compute_logw_and_logz
+
+    _, logz = compute_logw_and_logz(s.state.hist, 1.0)
+    s.state.cur = s.state.cur.replace(logz=logz.astype(s.state.dtype))
+    return s, records
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=4096)
+    p.add_argument("--d", type=int, default=100)
+    p.add_argument("--capacity", type=int, default=224)
+    p.add_argument("--n-max-steps", type=int, default=2,
+                   help="adaptive-sweep cap (x n_dim); same cap as the "
+                   "at-spec partial so the runs are comparable")
+    p.add_argument("--devices", type=int, default=8)
+    p.add_argument("--json", default="benchmarks/results/config5_scaled_complete.json")
+    args = p.parse_args()
+
+    from tempest_tpu.parallel.mesh import make_particle_mesh
+
+    mesh = make_particle_mesh(args.devices)
+
+    t0 = time.time()
+    sharded, recs = run_one(mesh, args, "sharded")
+    wall_sharded = time.time() - t0
+
+    beta = float(sharded.beta)
+    logz_sh = float(sharded.logz)
+    betas = [r["beta"] for r in recs]
+    assert 1.0 - beta < 1e-4, f"annealing did not finish: beta={beta}"
+    assert betas == sorted(betas), "beta ladder must be monotone"
+    hist_u = sharded.state.hist.u
+    assert not hist_u.sharding.is_fully_replicated, "history replicated!"
+    shard = hist_u.addressable_shards[0]
+    frac = np.prod(shard.data.shape) / np.prod(hist_u.shape)
+    assert abs(frac - 1.0 / args.devices) < 1e-9, (
+        f"device holds {frac:.3f} of history, expected {1 / args.devices:.3f}"
+    )
+    assert bool(jnp.all(jnp.isfinite(sharded.state.cur.logl))), "non-finite logl"
+
+    t0 = time.time()
+    single, recs_s = run_one(None, args, "unsharded")
+    wall_single = time.time() - t0
+    logz_un = float(single.logz)
+
+    assert 1.0 - float(single.beta) < 1e-4, "unsharded run did not finish"
+    iters_sh, iters_un = len(recs), len(recs_s)
+    assert iters_sh == iters_un, (
+        f"ladders diverged: sharded {iters_sh} vs unsharded {iters_un} iterations"
+    )
+    dz = abs(logz_sh - logz_un)
+    assert dz < 0.5, f"sharded logZ {logz_sh:.4f} vs unsharded {logz_un:.4f}"
+
+    report = {
+        "config": {
+            "problem": f"{args.d}-D Rosenbrock, U(-10,10) prior (BASELINE "
+                       "configs[4] shape, scaled particle count)",
+            "n_particles": args.n,
+            "n_dim": args.d,
+            "n_devices": args.devices,
+            "n_total": 2 * args.n,
+            "n_max_steps": args.n_max_steps,
+            "history_capacity": args.capacity,
+            "backend": jax.default_backend(),
+            "physical_cores": os.cpu_count(),
+        },
+        "sharded": {
+            "beta_final": beta,
+            "logz": logz_sh,
+            "iterations": iters_sh,
+            "wall_s": round(wall_sharded, 1),
+            "per_device_fraction": frac,
+        },
+        "unsharded": {
+            "beta_final": float(single.beta),
+            "logz": logz_un,
+            "iterations": iters_un,
+            "wall_s": round(wall_single, 1),
+        },
+        "agreement": {
+            "iteration_ladders_equal": iters_sh == iters_un,
+            "abs_dlogz": dz,
+        },
+        "asserts": [
+            "beta reaches 1.0 (both runs), ladder monotone",
+            "sharded and unsharded ladders identical in length",
+            f"|dlogZ| = {dz:.4f} < 0.5 (reduction-order noise only)",
+            f"history sharded: each device holds exactly 1/{args.devices} "
+            "of the (d, T, N) buffers end-to-end",
+        ],
+        "iterations_sharded": recs,
+        "iterations_unsharded": recs_s,
+    }
+    os.makedirs(os.path.dirname(args.json), exist_ok=True)
+    with open(args.json, "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote", args.json)
+    print(json.dumps({"summary": {
+        "beta": beta, "logz_sharded": logz_sh, "logz_unsharded": logz_un,
+        "abs_dlogz": dz, "iters": iters_sh,
+        "wall_sharded_s": round(wall_sharded, 1),
+        "wall_unsharded_s": round(wall_single, 1),
+    }}))
+
+
+if __name__ == "__main__":
+    main()

@@ -162,7 +162,12 @@ def _e_step(X, pi, means, covs, reg_covar, sample_weight=None):
 
 
 def _mixture_scores(X, pi, means, covs, reg_covar):
-    """Per-point per-component weighted log-densities and mixture likelihood.
+    """Per-point per-component log-densities and weighted mixture likelihood.
+
+    `log_probs` (K, n) are the UNWEIGHTED component log-densities
+    (`_log_gauss` output; no mixture weights) — callers that need weighted
+    scores must add `log(pi + eps)` themselves. Only `lik` (n,) folds in
+    the mixture weights: lik = sum_k pi_k * exp(log_probs_k).
 
     One density pass serves the lower bound, the BIC, and hard prediction;
     the split round reuses it instead of re-deriving `_log_gauss` chains
@@ -212,10 +217,13 @@ def _gmm_fit_scores(
             # mixture likelihoods give the bound at the CURRENT params, so
             # convergence compares LB(theta_t) - LB(theta_{t-1}) — the same
             # monotone sequence the reference checks (cluster.py:103-118),
-            # offset by one M-step; the reference recomputes the bound at
+            # offset by one M-step (the reference recomputes the bound at
             # the post-M-step params with a second density pass, doubling
-            # the per-iteration Cholesky/solve chain for an identical
-            # stopping rule up to one extra (strictly improving) iteration.
+            # the per-iteration Cholesky/solve chain). Consequences, both
+            # bounded by tol and documented as PARITY.md deviation 5: on
+            # convergence we retain the PRE-M-step params where the
+            # reference keeps post-M-step ones, and n_iter counts the
+            # detection iteration (off by one vs the reference).
             resp, new_lb = _e_step(
                 X, c["pi"], c["means"], c["covs"], reg_covar, sw
             )

@@ -638,7 +638,12 @@ class TestFusedHostEquality:
             s = Sampler(
                 prior, loglike, n_dim=3, n_particles=32, vectorize=True,
                 clustering=clustering, random_state=11, history_capacity=24,
+                fused=fused,
             )
+            # Guard against the two samplers silently running the same code
+            # path (a prior version of this test omitted fused=... and
+            # compared a run to an identical replay).
+            assert (s._core._fused_iter is not None) == fused
             s.run(n_total=64, progress=False)
             out.append(s)
         return out
