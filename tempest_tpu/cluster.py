@@ -51,6 +51,14 @@ def _log_gauss(X, mean, cov, reg_covar):
 
     Parity: the try/except fallback of cluster.py:180-188 — XLA raises no
     exceptions, so a NaN Cholesky selects the identity-covariance branch.
+
+    The Mahalanobis term is computed as (L^-1 diff) via a PRE-INVERTED
+    Cholesky factor: one (d, d) triangular solve against the identity,
+    then a dense (n, d) x (d, d) matmul that runs on the MXU. A per-point
+    triangular solve (solve_triangular over an (d, n) RHS) lowers to a
+    sequential substitution chain over n — measured as the dominant
+    latency of every geometry stage (EM E-steps, BIC, prediction) at
+    flagship shapes.
     """
     d = X.shape[1]
     eye = jnp.eye(d, dtype=X.dtype)
@@ -59,9 +67,10 @@ def _log_gauss(X, mean, cov, reg_covar):
     ok = jnp.all(jnp.isfinite(L))
     L_safe = jnp.where(ok, L, jnp.sqrt(reg_covar) * eye)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_safe)))
+    L_inv = jax.scipy.linalg.solve_triangular(L_safe, eye, lower=True)
     diff = X - mean
-    sol = jax.scipy.linalg.solve_triangular(L_safe, diff.T, lower=True)
-    maha = jnp.sum(sol * sol, axis=0)
+    sol = diff @ L_inv.T  # (n, d): rows are L^-1 (x - mean)
+    maha = jnp.sum(sol * sol, axis=1)
     return -0.5 * (d * _LOG2PI + logdet + maha)
 
 
@@ -337,6 +346,30 @@ def _single_component_fit(
     return _single_component_fit_scores(X, sample_weight, covariance_type, reg_covar)[0]
 
 
+def _single_component_params(
+    X: jnp.ndarray,
+    sample_weight: jnp.ndarray,
+    covariance_type: str = "full",
+) -> GMMParams:
+    """K=1 closed-form M-step WITHOUT the density pass for the bound.
+
+    For callers that re-evaluate the density at these parameters on a
+    different point set anyway (the subset split round, the final refit),
+    computing the subset lower bound here would be a wasted Cholesky/solve
+    chain; lower_bound is returned as 0 and must not be consumed.
+    """
+    sw = sample_weight / jnp.maximum(jnp.sum(sample_weight), _EPS)
+    resp = jnp.ones((X.shape[0], 1), dtype=X.dtype)
+    pi, means, covs = _m_step(X, resp, sw, covariance_type)
+    return GMMParams(
+        weights=pi,
+        means=means,
+        covariances=covs,
+        lower_bound=jnp.asarray(0.0, X.dtype),
+        n_iter=jnp.asarray(1, jnp.int32),
+    )
+
+
 def _bic_from_lik(
     lik: jnp.ndarray,
     mask: jnp.ndarray,
@@ -417,7 +450,15 @@ def gmm_bic(
 # ---------------------------------------------------------------------------
 @struct.dataclass
 class ClusterModel:
-    """Fitted hierarchical clustering, ready for on-device prediction."""
+    """Fitted hierarchical clustering, ready for on-device prediction.
+
+    `chol_inv`/`logdet` are the PRE-DECOMPOSED scoring factors of the
+    (regularized) covariances in prediction space (normalized coordinates
+    when `normalize`, original otherwise), computed once at fit time:
+    per-call Cholesky + triangular-solve chains were the measured latency
+    of `cluster_predict` (each lowers to ~d sequential substitution steps
+    per call), and prediction runs 2-3x per PS iteration.
+    """
 
     centers: jnp.ndarray  # (K_max, d) in ORIGINAL coordinates
     covariances: jnp.ndarray  # (K_max, d, d) in ORIGINAL coordinates
@@ -425,6 +466,8 @@ class ClusterModel:
     k_mask: jnp.ndarray  # (K_max,) valid-cluster mask
     data_min: jnp.ndarray  # (d,) normalization bounds (ignored if not normalize)
     data_max: jnp.ndarray  # (d,)
+    chol_inv: jnp.ndarray  # (K_max, d, d) L^-1 of prediction-space cov + reg
+    logdet: jnp.ndarray  # (K_max,) log|prediction-space cov + reg|
     normalize: bool = struct.field(pytree_node=False, default=False)
 
     @property
@@ -433,6 +476,19 @@ class ClusterModel:
 
     def n_clusters(self) -> jnp.ndarray:
         return jnp.sum(self.k_mask)
+
+
+def _chol_inv_logdet(cov: jnp.ndarray, reg_covar: float):
+    """(L^-1, log|cov + reg I|) with the exact `_log_gauss` fallback
+    semantics (NaN Cholesky -> sqrt(reg)*I factor). cov: (d, d)."""
+    d = cov.shape[0]
+    eye = jnp.eye(d, dtype=cov.dtype)
+    L = jnp.linalg.cholesky(cov + eye * reg_covar)
+    ok = jnp.all(jnp.isfinite(L))
+    L_safe = jnp.where(ok, L, jnp.sqrt(reg_covar) * eye)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_safe)))
+    L_inv = jax.scipy.linalg.solve_triangular(L_safe, eye, lower=True)
+    return L_inv, logdet
 
 
 def single_cluster_model(
@@ -444,17 +500,48 @@ def single_cluster_model(
     carried through `lax.cond` against a fitted model must be built with
     the same flag or the branch pytrees mismatch.
     """
+    eye = jnp.broadcast_to(jnp.eye(n_dim, dtype=dtype), (k_max, n_dim, n_dim))
+    chol_inv, logdet = jax.vmap(lambda c: _chol_inv_logdet(c, 1e-6))(eye)
     return ClusterModel(
         centers=jnp.zeros((k_max, n_dim), dtype=dtype),
-        covariances=jnp.broadcast_to(
-            jnp.eye(n_dim, dtype=dtype), (k_max, n_dim, n_dim)
-        ),
+        covariances=eye,
         weights=jnp.where(jnp.arange(k_max) < 1, 1.0, 0.0).astype(dtype),
         k_mask=jnp.arange(k_max) < 1,
         data_min=jnp.zeros((n_dim,), dtype=dtype),
         data_max=jnp.ones((n_dim,), dtype=dtype),
+        chol_inv=chol_inv,
+        logdet=logdet,
         normalize=normalize,
     )
+
+
+def _predict_scores(model: ClusterModel, X: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(scores (K, n), Xn, centers_n) using the fit-time decompositions.
+
+    Same math as scoring `_log_gauss(Xn, center, cov_n, 1e-6)` per cluster
+    (cluster.py:574-600 / 633-696 in the reference) but with the Cholesky
+    inversion hoisted to fit time (ClusterModel.chol_inv/logdet): per call
+    this is K dense (n, d) x (d, d) matmuls — no decomposition chains.
+    """
+    scale = model.data_max - model.data_min + _EPS
+    if model.normalize:
+        Xn = (X - model.data_min) / scale
+        centers = (model.centers - model.data_min) / scale
+    else:
+        Xn = X
+        centers = model.centers
+    d = X.shape[1]
+
+    def score_k(mean, L_inv, logdet, weight, valid):
+        sol = (Xn - mean) @ L_inv.T  # (n, d)
+        maha = jnp.sum(sol * sol, axis=1)
+        lp = -0.5 * (d * _LOG2PI + logdet + maha) + jnp.log(weight + _EPS)
+        return jnp.where(valid, lp, -jnp.inf)
+
+    scores = jax.vmap(score_k)(
+        centers, model.chol_inv, model.logdet, model.weights, model.k_mask
+    )  # (K, n)
+    return scores, Xn, centers
 
 
 @partial(jax.jit, static_argnames=())
@@ -465,21 +552,7 @@ def cluster_predict(model: ClusterModel, X: jnp.ndarray) -> jnp.ndarray:
     normalized coordinates with 1e-6 regularization; rows whose mixture
     score is non-finite fall back to nearest center.
     """
-    scale = model.data_max - model.data_min + _EPS
-    if model.normalize:
-        Xn = (X - model.data_min) / scale
-        centers = (model.centers - model.data_min) / scale
-        covs = model.covariances / (scale[:, None] * scale[None, :])[None]
-    else:
-        Xn = X
-        centers = model.centers
-        covs = model.covariances
-
-    def score_k(mean, cov, weight, valid):
-        lp = _log_gauss(Xn, mean, cov, 1e-6) + jnp.log(weight + _EPS)
-        return jnp.where(valid, lp, -jnp.inf)
-
-    scores = jax.vmap(score_k)(centers, covs, model.weights, model.k_mask)  # (K, n)
+    scores, Xn, centers = _predict_scores(model, X)
     best = jnp.argmax(scores, axis=0).astype(jnp.int32)
 
     # Nearest-center fallback for non-finite scores
@@ -492,26 +565,15 @@ def cluster_predict(model: ClusterModel, X: jnp.ndarray) -> jnp.ndarray:
 
 def cluster_predict_proba(model: ClusterModel, X: jnp.ndarray) -> jnp.ndarray:
     """Mixture posterior probabilities (cluster.py:602-631)."""
-    scale = model.data_max - model.data_min + _EPS
-    if model.normalize:
-        Xn = (X - model.data_min) / scale
-        centers = (model.centers - model.data_min) / scale
-        covs = model.covariances / (scale[:, None] * scale[None, :])[None]
-    else:
-        Xn = X
-        centers = model.centers
-        covs = model.covariances
-
-    def score_k(mean, cov, weight, valid):
-        lp = _log_gauss(Xn, mean, cov, 1e-6) + jnp.log(weight + _EPS)
-        return jnp.where(valid, lp, -jnp.inf)
-
-    scores = jax.vmap(score_k)(centers, covs, model.weights, model.k_mask)  # (K, n)
+    scores, _, _ = _predict_scores(model, X)
     norm = logsumexp(scores, axis=0, keepdims=True)
     return jnp.exp(scores - norm).T  # (n, K)
 
 
-@partial(jax.jit, static_argnames=("k_max", "covariance_type", "n_init"))
+@partial(
+    jax.jit,
+    static_argnames=("k_max", "covariance_type", "n_init", "n_sub", "k_slots"),
+)
 def _split_round(
     key: jax.Array,
     Xw: jnp.ndarray,
@@ -523,6 +585,8 @@ def _split_round(
     k_max: int,
     covariance_type: str,
     n_init: int = 1,
+    n_sub: Optional[int] = None,
+    k_slots: Optional[int] = None,
 ):
     """Evaluate the K=1 vs K=2 split candidate for EVERY leaf in one program.
 
@@ -532,11 +596,31 @@ def _split_round(
     back in one transfer, so the host pays ONE device round-trip per split
     round instead of several per leaf (the tunnel makes round-trips the
     dominant cost of the clustered path).
+
+    `n_sub` (static) bounds the PER-LEAF fit set: each leaf's EM runs on
+    its own top-n_sub members BY WEIGHT — (k_max, n_sub) tensors instead
+    of (k_max, n), which is where the round's HBM traffic lives — while
+    the BIC gate and the child assignment are evaluated on the FULL
+    membership with one density pass at the final parameters. Leaves with
+    <= n_sub members fit on exactly their member set (zero-weight padding
+    rows are inert in the weighted EM), so the result is identical to the
+    full fit; larger leaves drop only their lowest-weight tail, the same
+    truncation (and rationale) as the global train_max_points selection.
+
+    `k_slots` (static, default k_max) bounds how many leaf SLOTS this round
+    evaluates. Round r of the bisecting tree can hold at most 2^r leaves,
+    so processing all k_max padded slots wastes a k_max/2^r factor of the
+    round's HBM traffic; a caller that guarantees n_leaves <= k_slots gets
+    bit-identical split decisions (slots >= n_leaves are never eligible)
+    at k_slots/k_max of the cost. Leaf i's RNG key is split from the full
+    k_max fan regardless, so fits do not depend on k_slots.
     """
     n, d = Xw.shape
-    leaf_ids = jnp.arange(k_max)
-    members = labels[None, :] == leaf_ids[:, None]  # (k_max, n)
-    leaf_w = jnp.where(members, sample_weight[None, :], 0.0)  # (k_max, n)
+    if k_slots is None:
+        k_slots = k_max
+    leaf_ids = jnp.arange(k_slots)
+    members = labels[None, :] == leaf_ids[:, None]  # (k_slots, n)
+    leaf_w = jnp.where(members, sample_weight[None, :], 0.0)  # (k_slots, n)
     w_tot = jnp.sum(leaf_w, axis=1)
     n_members = jnp.sum(members, axis=1)
 
@@ -546,18 +630,43 @@ def _split_round(
     n_params = d + d * (d + 1) / 2 + 1
     thresholds = threshold_modifier * n_params * jnp.log(jnp.maximum(n_eff, 1.0))
 
-    keys = jax.random.split(key, k_max)
+    keys = jax.random.split(key, k_max)[:k_slots]
     # One density pass per fit: the K=1/K=2 fits return the per-point
     # likelihoods (and K=2 the per-component scores) evaluated at their
     # final parameters, which the BIC gates and the child prediction
     # consume directly — the reference re-runs the density chain for
     # `bic()` and `predict()` after each `fit()` (cluster.py:468,477,493).
-    p1, lik1 = jax.vmap(
-        lambda w: _single_component_fit_scores(Xw, w, covariance_type)
-    )(leaf_w)
-    p2, scores2, lik2 = jax.vmap(
-        lambda k, w: _gmm_fit_scores(k, Xw, w, 2, covariance_type, n_init=n_init)
-    )(keys, leaf_w)
+    if n_sub is not None and n_sub < n:
+        w_sub, sub_idx = jax.lax.top_k(leaf_w, n_sub)  # (k_max, n_sub)
+        X_sub = Xw[sub_idx]  # (k_max, n_sub, d)
+        p1 = jax.vmap(
+            lambda Xs, w: _single_component_params(Xs, w, covariance_type)
+        )(X_sub, w_sub)
+        p2 = jax.vmap(
+            lambda k, Xs, w: _gmm_fit_scores(
+                k, Xs, w, 2, covariance_type, n_init=n_init
+            )[0]
+        )(keys, X_sub, w_sub)
+        # Full-membership density pass at the subset-fitted parameters:
+        # feeds the BIC gates (full-member likelihoods) and the child
+        # labels for relabeling every member.
+        _, lik1 = jax.vmap(
+            lambda p: _mixture_scores(
+                Xw, p.weights, p.means, p.covariances, 1e-6
+            )
+        )(p1)
+        scores2, lik2 = jax.vmap(
+            lambda p: _mixture_scores(
+                Xw, p.weights, p.means, p.covariances, 1e-6
+            )
+        )(p2)
+    else:
+        p1, lik1 = jax.vmap(
+            lambda w: _single_component_fit_scores(Xw, w, covariance_type)
+        )(leaf_w)
+        p2, scores2, lik2 = jax.vmap(
+            lambda k, w: _gmm_fit_scores(k, Xw, w, 2, covariance_type, n_init=n_init)
+        )(keys, leaf_w)
     d_feat = Xw.shape[1]
     bic1 = jax.vmap(
         lambda l, m: _bic_from_lik(l, m, 1, d_feat, covariance_type)
@@ -594,7 +703,7 @@ def _split_round(
     jax.jit,
     static_argnames=(
         "k_max", "covariance_type", "max_rounds", "normalize", "n_init",
-        "split_all",
+        "split_all", "leaf_fit_points",
     ),
 )
 def hgm_fit(
@@ -610,6 +719,7 @@ def hgm_fit(
     normalize: bool,
     n_init: int = 1,
     split_all: bool = False,
+    leaf_fit_points: Optional[int] = None,
 ):
     """The ENTIRE hierarchical fit as one device program.
 
@@ -620,6 +730,10 @@ def hgm_fit(
     K reaches k_max. Zero host round-trips — on a tunneled backend the
     transfers (child-label matrices, normalized data) previously dominated
     the clustered path's wall clock.
+
+    `leaf_fit_points` (static) caps each leaf's EM fit set to its top-k
+    members by weight (see _split_round); None fits every leaf on the
+    full masked arrays.
 
     Returns (model, labels, n_leaves), all device values.
     """
@@ -640,13 +754,11 @@ def hgm_fit(
 
     labels0 = jnp.where(mask, 0, -1).astype(jnp.int32)
 
-    def cond(c):
-        return c["go"] & (c["n_leaves"] < k_max) & (c["round"] < max_rounds)
-
-    def body(c):
+    def round_step(c, k_slots):
         out = _split_round(
             key, Xw, sw, c["labels"], c["n_leaves"], min_points,
             threshold_modifier, k_max, covariance_type, n_init,
+            leaf_fit_points, k_slots,
         )
         if split_all:
             # Split EVERY eligible leaf this round (standard bisecting
@@ -656,14 +768,17 @@ def hgm_fit(
             # in leaf-id order; any that would overflow k_max wait for
             # the next round (and are re-gated then).
             elig = out["eligible"]
-            rank = jnp.cumsum(elig.astype(jnp.int32)) - 1  # (k_max,)
+            rank = jnp.cumsum(elig.astype(jnp.int32)) - 1  # (k_slots,)
             new_ids = c["n_leaves"] + rank
             can = elig & (new_ids < k_max)
             lab = c["labels"]
-            safe = jnp.clip(lab, 0, k_max - 1)
+            safe = jnp.clip(lab, 0, k_slots - 1)
             n = lab.shape[0]
             sample_child = out["child"].astype(jnp.int32)[safe, jnp.arange(n)]
-            move = (lab >= 0) & can[safe] & (sample_child == 1)
+            # `lab < k_slots` guards label slots beyond this round's
+            # evaluated width (never populated when the caller's
+            # n_leaves <= k_slots invariant holds; belt-and-braces).
+            move = (lab >= 0) & (lab < k_slots) & can[safe] & (sample_child == 1)
             new_labels = jnp.where(move, new_ids[safe], lab)
             n_split = jnp.sum(can).astype(jnp.int32)
             return {
@@ -687,22 +802,60 @@ def hgm_fit(
             "round": c["round"] + 1,
         }
 
-    state = jax.lax.while_loop(
-        cond,
-        body,
-        {
-            "labels": labels0,
-            "n_leaves": jnp.asarray(1, jnp.int32),
-            "go": jnp.asarray(True),
-            "round": jnp.asarray(0, jnp.int32),
-        },
-    )
+    state = {
+        "labels": labels0,
+        "n_leaves": jnp.asarray(1, jnp.int32),
+        "go": jnp.asarray(True),
+        "round": jnp.asarray(0, jnp.int32),
+    }
+
+    prefix_rounds = []
+    if split_all:
+        # Unrolled DOUBLING PREFIX: round r can hold at most 2^r leaves
+        # (split_all starts from one leaf and at most doubles per round),
+        # so its candidate evaluation only needs 2^r of the k_max padded
+        # slots. Unrolling these rounds with k_slots = 2^r cuts the
+        # dominant (k_slots, n) EM traffic of the whole hierarchical fit
+        # by ~k_max*rounds / (2*k_max - 1); decisions are bit-identical
+        # (slots >= n_leaves are never eligible, leaf RNG keys are
+        # k_slots-independent). Skipped rounds (nothing left to split)
+        # cost one lax.cond false branch.
+        r = 0
+        while (1 << r) < k_max and r < max_rounds:
+            prefix_rounds.append(1 << r)
+            r += 1
+        for k_slots in prefix_rounds:
+            state = jax.lax.cond(
+                state["go"] & (state["n_leaves"] < k_max),
+                partial(round_step, k_slots=k_slots),
+                lambda c: c,
+                state,
+            )
+
+    # Full-width tail: split trajectories that keep producing eligible
+    # leaves past the doubling prefix (or the reference's one-split-per-
+    # round cadence, split_all=False) continue under the original
+    # while_loop semantics, bounded by max_rounds.
+    if max_rounds > len(prefix_rounds) or not split_all:
+        def cond(c):
+            return c["go"] & (c["n_leaves"] < k_max) & (c["round"] < max_rounds)
+
+        state = jax.lax.while_loop(
+            cond, partial(round_step, k_slots=k_max), state
+        )
     labels, n_leaves = state["labels"], state["n_leaves"]
 
     centers, covs, cweights = _final_refit(
         key, Xw, sw, labels, k_max, covariance_type, n_init
     )
     k_mask = jnp.arange(k_max) < n_leaves
+    # Prediction-space (normalized-coordinate) covariances, padded to the
+    # identity on invalid slots, are decomposed ONCE here; every later
+    # cluster_predict call reuses the factors (see ClusterModel docstring).
+    covs_pred = jnp.where(
+        k_mask[:, None, None], covs, jnp.eye(d, dtype=dtype)[None]
+    )
+    chol_inv, logdet = jax.vmap(lambda c: _chol_inv_logdet(c, 1e-6))(covs_pred)
     if normalize:
         scale = data_max - data_min + _EPS
         centers = centers * scale[None, :] + data_min[None, :]
@@ -719,6 +872,8 @@ def hgm_fit(
         k_mask=k_mask,
         data_min=data_min,
         data_max=data_max,
+        chol_inv=chol_inv,
+        logdet=logdet,
         normalize=normalize,
     )
     return model, labels, n_leaves
@@ -739,8 +894,11 @@ def _final_refit(
     leaf_ids = jnp.arange(k_max)
     members = labels[None, :] == leaf_ids[:, None]
     leaf_w = jnp.where(members, sample_weight[None, :], 0.0)
+    # Params-only M-step: the refit consumes means/covariances only, so
+    # the density pass behind the lower bound would be a wasted
+    # (k_max, n) Cholesky/solve chain.
     p = jax.vmap(
-        lambda w: _single_component_fit(Xw, w, covariance_type)
+        lambda w: _single_component_params(Xw, w, covariance_type)
     )(leaf_w)
     n_members = jnp.sum(members, axis=1)
 
@@ -781,6 +939,7 @@ class HierarchicalGaussianMixture:
         k_max: int = 16,
         seed: int = 42,
         split_all: bool = False,
+        leaf_fit_points: Optional[int] = None,
     ):
         if threshold_modifier <= 0:
             raise ValueError("threshold_modifier must be positive.")
@@ -794,6 +953,7 @@ class HierarchicalGaussianMixture:
         self.k_max = k_max
         self.seed = seed
         self.split_all = split_all
+        self.leaf_fit_points = leaf_fit_points
         self.model: Optional[ClusterModel] = None
         self._labels_dev: Optional[jnp.ndarray] = None
         self._n_leaves_dev = None
@@ -854,6 +1014,7 @@ class HierarchicalGaussianMixture:
             self.normalize,
             self.n_init,
             self.split_all,
+            self.leaf_fit_points,
         )
         if self.verbose:
             print(f"HGM fit: {self.n_clusters_} leaves")

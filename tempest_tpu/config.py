@@ -127,6 +127,19 @@ class SamplerConfig:
     # path's dominant term; see benchmarks/results/kernel_times_tpu.txt).
     # None = auto (max(4096, 4*n_particles)); 0 disables subsampling.
     train_max_points: Optional[int] = None
+    # Per-LEAF cap on the hierarchical-GMM EM fit sets: each leaf's K=1/K=2
+    # EM runs on its own top-leaf_fit_points members by weight ((k_max,
+    # n_sub) tensors instead of (k_max, n) — the clustered path's dominant
+    # HBM term), while the BIC split gate and child relabeling stay on the
+    # FULL membership via one density pass at the final parameters. Leaves
+    # with fewer members fit identically (zero-weight padding is inert in
+    # the weighted EM). None = auto (train_max_points // 2 — measured as
+    # the safe truncation: half the fit set keeps the mode-discovery and
+    # logZ behavior of the full fit on the 10-D bimodal validation, while
+    # a quarter loses modes because the top-by-weight subset of a leaf
+    # whose effective sample size rivals the cap can lopsidedly favor one
+    # mode). 0 disables the per-leaf cap.
+    leaf_fit_points: Optional[int] = None
     # Hierarchical-clustering split cadence. True (default) splits every
     # BIC-eligible leaf per round (standard bisecting k-means: K leaves in
     # ~log2(K) rounds — measured ~1.7x faster end-to-end on the clustered
@@ -163,6 +176,13 @@ class SamplerConfig:
         if self.train_max_points is None:
             object.__setattr__(
                 self, "train_max_points", max(4096, 4 * self.n_particles)
+            )
+
+        if self.leaf_fit_points is None:
+            object.__setattr__(
+                self,
+                "leaf_fit_points",
+                self.train_max_points // 2 if self.train_max_points else 0,
             )
 
         self.validate()

@@ -133,6 +133,7 @@ class SamplerCore:
             dtype=cfg.dtype,
             train_max_points=cfg.train_max_points,
             split_all=cfg.split_all,
+            leaf_fit_points=cfg.leaf_fit_points,
         )
 
         # Fused fast path: the entire iteration (reweight + clustering +
@@ -321,33 +322,37 @@ class SamplerCore:
             )
         self.pbar.close()
 
-    # Above this history size the whole-run program's loop-carry
-    # double-buffering has been observed to exceed HBM and crash the TPU
-    # worker (not a clean OOM); the per-iteration host loop with donated
-    # buffers handles the same sizes fine (benchmarks/large_ensemble.py
-    # runs N=2^20 x capacity 48 through it). Measured threshold: ~2 GB of
-    # u+x history already faults on a 16 GB chip; warn well before that.
-    _ON_DEVICE_HISTORY_BYTES_WARN = 1 << 30
+    # Soft ceiling for the whole-run program's RESIDENT state: with
+    # (hist, cur) donated (fused.py) the run keeps ONE history copy alive
+    # through the while_loop (validated at the round-3 faulting size by
+    # benchmarks/fused_run_validation.py), so the warning bar is the
+    # history approaching the chip's HBM itself, not the old 1 GiB
+    # double-buffering cliff.
+    _ON_DEVICE_HISTORY_BYTES_WARN = 6 << 30
 
     def _run_on_device(self, n_total: int) -> None:
         """Drive the whole-run device loop, growing capacity and re-entering
         if the history fills before termination."""
         from .fused import make_fused_run
 
-        hist_bytes = (
-            2 * self.n_dim * self.hist.capacity * self.n_particles
-            * jnp.dtype(self.dtype).itemsize
-        )
+        # Full per-sample state: u + x, logl + mis_c, and any blob columns
+        # (the old estimate counted only u + x, under-sizing blob-heavy
+        # runs).
+        itemsize = jnp.dtype(self.dtype).itemsize
+        per_sample = (2 * self.n_dim + 2) * itemsize
+        if self.blob_size:
+            per_sample += self.blob_size * jnp.dtype(
+                self._blobs_device_dtype or self.dtype
+            ).itemsize
+        hist_bytes = per_sample * self.hist.capacity * self.n_particles
         if hist_bytes > self._ON_DEVICE_HISTORY_BYTES_WARN:
             import warnings
 
             warnings.warn(
-                f"on_device=True with a {hist_bytes / 2**30:.1f} GiB history: "
-                "the whole-run fused program double-buffers the history in "
-                "its loop carry and can exhaust HBM (worker crash) at "
-                "multi-GiB sizes. Prefer run(..., on_device=False) — the "
-                "per-iteration path donates buffers and handles these sizes "
-                "(see benchmarks/large_ensemble.py).",
+                f"on_device=True with a {hist_bytes / 2**30:.1f} GiB history "
+                "approaches single-chip HBM; if the run OOMs, use "
+                "run(..., on_device=False) (per-iteration dispatch, same "
+                "bit-exact results) or shard over a mesh.",
                 RuntimeWarning,
                 stacklevel=3,
             )
@@ -359,12 +364,13 @@ class SamplerCore:
 
         while True:
             (
+                self.key,
                 self.hist,
                 self.cur,
                 self._fused_model,
                 self._fused_fitted,
             ) = runner(
-                self._next_key(),
+                self.key,
                 self.hist,
                 self.cur,
                 jnp.asarray(n_total, jnp.int32),

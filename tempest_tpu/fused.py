@@ -139,6 +139,7 @@ def _make_iteration_fn(
                     hgm_max_rounds,
                     cfg.normalize,
                     split_all=cfg.split_all,
+                    leaf_fit_points=cfg.leaf_fit_points or None,
                 )
                 return m
 
@@ -284,10 +285,16 @@ def make_fused_iteration(
     fn = _make_iteration_fn(
         config, log_likelihood_batch, prior_transform_batch, have_blobs
     )
+    # Donating (hist, cur) lets XLA alias the input history with the
+    # output buffers: without it the program must preserve the caller's
+    # history (JAX input semantics), so every iteration holds TWO copies
+    # of the multi-GiB buffers. Callers (core.execute_iteration) always
+    # rebind to the outputs, never reusing the donated arrays.
+    donate = (1, 2) if config.donate_state else ()
     out_sh = _state_out_shardings(config, have_blobs)
     if out_sh is None:
-        return jax.jit(fn)
-    return jax.jit(fn, out_shardings=out_sh)
+        return jax.jit(fn, donate_argnums=donate)
+    return jax.jit(fn, out_shardings=out_sh, donate_argnums=donate)
 
 
 def make_fused_run(
@@ -316,6 +323,13 @@ def make_fused_run(
     from .ops.tools import ess_from_logw
 
     def run(key: jax.Array, hist: History, cur: Current, n_total, model, fitted):
+        """`key` is the sampler's MASTER key chain, not a one-shot subkey:
+        the loop body performs the same `key, k = split(key)` advance the
+        host loop's `_next_key()` does per iteration, and the final master
+        key is returned so the caller stays on the identical stream. The
+        whole-run path and the per-iteration host loop are therefore
+        bit-exact replicas of each other (validated at multi-GiB scale by
+        benchmarks/fused_run_validation.py)."""
         capacity = hist.capacity
 
         def cond(c):
@@ -348,10 +362,21 @@ def make_fused_run(
         # Final evidence at beta=1 over the full history (core.py:148-151)
         _, logz = compute_logw_and_logz(hist, 1.0)
         cur = cur.replace(logz=logz.astype(cfg.dtype))
-        return hist, cur, model, fitted
+        return key, hist, cur, model, fitted
 
     cfg = config
+    # Donation is what makes the whole-run contract hold at multi-GiB
+    # histories: un-donated, XLA must copy the history into the loop carry
+    # while preserving the input — two full copies of the history live for
+    # the entire run, which exhausted HBM at N=2^19 x capacity 48 (the
+    # round-3 worker crash). With (hist, cur) donated the input aliases
+    # the carry/output allocation and the in-place dynamic-update-slices
+    # in commit() keep a single resident copy.
+    donate = (1, 2) if config.donate_state else ()
     out_sh = _state_out_shardings(config, have_blobs)
     if out_sh is None:
-        return jax.jit(run)
-    return jax.jit(run, out_shardings=out_sh)
+        return jax.jit(run, donate_argnums=donate)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key_sh = NamedSharding(config.mesh, P())
+    return jax.jit(run, out_shardings=(key_sh,) + out_sh, donate_argnums=donate)

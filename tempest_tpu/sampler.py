@@ -62,6 +62,7 @@ class Sampler:
         train_max_points: Optional[int] = None,
         split_all: Optional[bool] = None,
         fused: Optional[bool] = None,
+        leaf_fit_points: Optional[int] = None,
     ):
         import jax.numpy as jnp
 
@@ -83,6 +84,8 @@ class Sampler:
             extra["split_all"] = split_all
         if fused is not None:
             extra["fused"] = fused
+        if leaf_fit_points is not None:
+            extra["leaf_fit_points"] = leaf_fit_points
 
         config = SamplerConfig(
             prior_transform=prior_transform,

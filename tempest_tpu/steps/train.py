@@ -47,6 +47,7 @@ class Trainer:
         dtype=jnp.float32,
         train_max_points: int = 0,
         split_all: bool = False,
+        leaf_fit_points: Optional[int] = None,
     ):
         self.n_dim = n_dim
         self.k_max = k_max
@@ -66,6 +67,7 @@ class Trainer:
                 covariance_type="full",
                 normalize=normalize,
                 k_max=k_max,
+                leaf_fit_points=leaf_fit_points or None,
             )
         self._model: ClusterModel = single_cluster_model(n_dim, k_max, dtype)
 

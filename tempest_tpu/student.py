@@ -162,8 +162,14 @@ def fit_mvstud(
         mu, Sigma, nu, last_nu, i, hit_inf = carry
         Sigma, L = _ensure_pd(Sigma)
         diffs = data - mu  # (n, dim)
-        sol = jax.scipy.linalg.cho_solve((L, True), diffs.T)  # (dim, n)
-        delta = jnp.sum(diffs.T * sol, axis=0)  # (n,)
+        # Mahalanobis via the pre-inverted Cholesky factor: one (dim, dim)
+        # triangular solve + an MXU matmul instead of a per-point
+        # substitution chain over n (see cluster._log_gauss).
+        L_inv = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(dim, dtype=L.dtype), lower=True
+        )
+        sol = diffs @ L_inv.T  # (n, dim)
+        delta = jnp.sum(sol * sol, axis=1)  # (n,)
 
         nu_new = _opt_nu(delta, dim, 1.0 / n)
         now_inf = ~jnp.isfinite(nu_new)
@@ -267,8 +273,14 @@ def fit_mvstud_weighted(
         mu, Sigma, nu, last_nu, i, hit_inf = carry
         Sigma, L = _ensure_pd(Sigma)
         diffs = data - mu  # (n, dim)
-        sol = jax.scipy.linalg.cho_solve((L, True), diffs.T)  # (dim, n)
-        delta = jnp.sum(diffs.T * sol, axis=0)  # (n,)
+        # Mahalanobis via the pre-inverted Cholesky factor: one (dim, dim)
+        # triangular solve + an MXU matmul instead of a per-point
+        # substitution chain over n (see cluster._log_gauss).
+        L_inv = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(dim, dtype=L.dtype), lower=True
+        )
+        sol = diffs @ L_inv.T  # (n, dim)
+        delta = jnp.sum(sol * sol, axis=1)  # (n,)
 
         nu_new = _opt_nu(delta, dim, wbar)
         now_inf = ~jnp.isfinite(nu_new)
