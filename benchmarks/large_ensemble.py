@@ -43,13 +43,14 @@ def main():
     p.add_argument("--json", default="benchmarks/results/large_ensemble_tpu.json")
     p.add_argument(
         "--whole-run-fused", action="store_true",
-        help="dispatch the entire annealing as ONE device program. The "
-        "default is the host-loop (one fused-iteration dispatch per "
-        "iteration, donated buffers): at multi-GB ensemble sizes the "
-        "whole-run program's loop-carry double-buffering exceeds HBM and "
-        "crashes the worker, while per-iteration dispatch holds one live "
-        "history copy; the ~35 ms/iteration tunnel overhead is noise "
-        "against multi-second iterations at this scale.",
+        help="dispatch the entire annealing as ONE device program. Since "
+        "round 4 the fused programs donate (hist, cur), so the whole-run "
+        "path holds a single live history copy and is validated bit-exact "
+        "against the host loop at N=2^19 x capacity 48 "
+        "(benchmarks/fused_run_validation.py). The host loop remains the "
+        "default here only because the ~35 ms/iteration tunnel overhead "
+        "is noise against multi-second iterations at this scale and its "
+        "per-iteration records aid monitoring.",
     )
     args = p.parse_args()
 

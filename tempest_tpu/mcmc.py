@@ -95,13 +95,20 @@ def _mode_matmul(z: jnp.ndarray, assignments: jnp.ndarray, mats: jnp.ndarray) ->
 
 
 # Above this many gathered-matrix elements (N * d^2) the per-walker
-# Cholesky/inverse gather is a memory hazard and the K-loop formulations
-# above are used instead. Below it, the gather is materialized ONCE before
-# the MCMC while_loop and each step runs 3 dense batched einsums instead of
+# Cholesky/inverse gather is avoided and the K-loop formulations above are
+# used instead. Below it, the gather is materialized ONCE before the MCMC
+# while_loop and each step runs 3 dense batched einsums instead of
 # 3 * K_max sequential masked matmuls — the K-loop's sequential small ops
 # dominated the measured per-step cost at flagship scale (N=1024, d=10,
-# K=16: ~48 tiny matmuls per step).
-_GATHER_ELEMS_LIMIT = 1 << 25  # 33.5M elems = 134 MB fp32 per matrix set
+# K=16: ~48 tiny matmuls per step). The crossover is LATENCY vs
+# BANDWIDTH, not memory capacity: the gathered einsums are per-sample
+# matvec batches that cannot use the MXU and re-read the (N, d, d)
+# factors every step (round-4 roofline: at N=2^18 the gathered step ran
+# 21x over the HBM bound; the K-loop's K dense (N*R, d) x (d, d) MXU
+# matmuls are the bandwidth-efficient form), so the gather is only worth
+# its latency advantage while the matrices are small enough to live in
+# cache-adjacent HBM traffic.
+_GATHER_ELEMS_LIMIT = 1 << 21  # 2M elems = 8 MB fp32 per matrix set
 
 
 def _gathered_quadratic(diff: jnp.ndarray, mats_w: jnp.ndarray) -> jnp.ndarray:
