@@ -1,12 +1,20 @@
 """Whole-run fused contract validation at the round-3 faulting size.
 
 Round 3 measured the `run(on_device=True)` whole-run program CRASHING the
-TPU worker at N=2^19, capacity 48 (~2 GB logical u+x history): without
-buffer donation the program had to preserve the caller's history (JAX
-input semantics) WHILE holding the while-loop carry — two-plus full
-copies of the multi-GiB buffers resident for the entire run. Round 4
-donates (hist, cur) into both fused programs (fused.py), aliasing the
-input with the carry/output allocation.
+TPU worker at N=2^19, capacity 48 (~2 GB logical u+x history). Round-4
+root-causing found TWO independent problems:
+
+1. Without buffer donation the program preserved the caller's history
+   (JAX input semantics) WHILE holding the while-loop carry. Round 4
+   donates (hist, cur) into both fused programs; the compiler's own
+   memory_analysis at this shape confirms full input/output aliasing
+   (alias == args == 2.13 GiB, temps 3.8 GiB — one resident history).
+2. The actual crash trigger was an EXECUTION-LENGTH WATCHDOG, not
+   memory: the relayed worker kills any single execution at ~60 s wall
+   (reproduced with a 16 KB-state spin kernel). Large histories crashed
+   only because their whole-run dispatch ran for minutes. Round 4 chunks
+   the device loop under `on_device_dispatch_budget_s` (45 s default),
+   re-entering with donated buffers; chunk boundaries change no value.
 
 This script is the acceptance gate: at the exact faulting configuration
 it must (a) complete `on_device=True` on the real chip, and (b) match the

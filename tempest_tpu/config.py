@@ -140,6 +140,16 @@ class SamplerConfig:
     # whose effective sample size rivals the cap can lopsidedly favor one
     # mode). 0 disables the per-leaf cap.
     leaf_fit_points: Optional[int] = None
+    # run(on_device=True) dispatch budget in SECONDS: the whole-run device
+    # loop is re-entered from the host in chunks sized so one dispatch
+    # stays under this wall-clock bound. Relayed TPU workers kill single
+    # executions past ~a minute (an execution-length watchdog, measured
+    # in round 4 — the real cause of the "multi-GiB history" crashes);
+    # small problems still complete in ONE dispatch because the chunk is
+    # sized from a per-iteration estimate. Chunk boundaries change
+    # neither the RNG stream nor any computed value. None = never chunk
+    # (single dispatch, for backends without execution limits).
+    on_device_dispatch_budget_s: Optional[float] = 45.0
     # Hierarchical-clustering split cadence. True (default) splits every
     # BIC-eligible leaf per round (standard bisecting k-means: K leaves in
     # ~log2(K) rounds — measured ~1.7x faster end-to-end on the clustered

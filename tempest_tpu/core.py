@@ -362,7 +362,31 @@ class SamplerCore:
             )
         runner = self._fused_run
 
+        # Per-dispatch iteration budget: single device executions longer
+        # than ~a minute crash the relayed TPU worker (an execution-length
+        # watchdog — measured with a 16 KB-state spin kernel, so it is not
+        # memory; this was the real cause of the round-3 "multi-GiB
+        # history" crash). The first chunk is sized from a bytes-based
+        # per-iteration estimate (measured ~2.4 ns per history byte on the
+        # v5e chip, taken with 4x margin), then adapted from each
+        # dispatch's measured wall. Chunk boundaries change neither the
+        # RNG chain nor any value — chunked and unchunked runs are
+        # bit-identical. budget=None restores single-dispatch behavior.
+        import time as _time
+
+        budget = self.config.on_device_dispatch_budget_s
+        per_iter_est = None
+        if budget is not None:
+            per_iter_est = max(0.02, 10e-9 * hist_bytes)
+
         while True:
+            t_before = int(self.hist.t)
+            if budget is None:
+                t_stop = self.hist.capacity
+            else:
+                chunk = max(1, int(0.5 * budget / per_iter_est))
+                t_stop = min(self.hist.capacity, t_before + chunk)
+            t0 = _time.time()
             (
                 self.key,
                 self.hist,
@@ -376,13 +400,15 @@ class SamplerCore:
                 jnp.asarray(n_total, jnp.int32),
                 self._fused_model,
                 self._fused_fitted,
+                jnp.asarray(t_stop, jnp.int32),
             )
             self.trainer._model = self._fused_model
+            t_after = int(self.hist.t)  # genuine device sync
+            if budget is not None and t_after > t_before:
+                per_iter_est = max((_time.time() - t0) / (t_after - t_before), 1e-4)
             if self.pbar is not None:
                 if self.pbar.progress_bar is not None:
-                    self.pbar.progress_bar.update(
-                        int(self.hist.t) - self.pbar.progress_bar.n
-                    )
+                    self.pbar.progress_bar.update(t_after - self.pbar.progress_bar.n)
                 self._update_progress_bar()
             if not self._not_termination():
                 break

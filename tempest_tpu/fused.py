@@ -247,6 +247,26 @@ def _make_iteration_fn(
     return iteration
 
 
+def _donation_enabled(config: SamplerConfig) -> bool:
+    """Donate (hist, cur) into the fused programs?
+
+    On the CPU backend with a (virtual-device) mesh, donated buffers can
+    trigger an abort inside XLA:CPU's per-op collective thunks in some
+    configurations (round-4 bisect: the bimodal k_max=4 mesh test dies
+    with donation on, passes with it off; the single-device CPU path and
+    the TPU backend are unaffected). Donation buys nothing on the test
+    mesh — shards are tiny — so it is disabled exactly there.
+    """
+    if not config.donate_state:
+        return False
+    if config.mesh is None:
+        return True
+    try:
+        return jax.default_backend() != "cpu"
+    except RuntimeError:  # pragma: no cover — backend not initialized
+        return True
+
+
 def _state_out_shardings(config: SamplerConfig, have_blobs: Optional[bool] = None):
     """(hist, cur, model, fitted) output shardings for the fused programs.
 
@@ -290,7 +310,7 @@ def make_fused_iteration(
     # history (JAX input semantics), so every iteration holds TWO copies
     # of the multi-GiB buffers. Callers (core.execute_iteration) always
     # rebind to the outputs, never reusing the donated arrays.
-    donate = (1, 2) if config.donate_state else ()
+    donate = (1, 2) if _donation_enabled(config) else ()
     out_sh = _state_out_shardings(config, have_blobs)
     if out_sh is None:
         return jax.jit(fn, donate_argnums=donate)
@@ -322,14 +342,25 @@ def make_fused_run(
     )
     from .ops.tools import ess_from_logw
 
-    def run(key: jax.Array, hist: History, cur: Current, n_total, model, fitted):
+    def run(key: jax.Array, hist: History, cur: Current, n_total, model, fitted, t_stop):
         """`key` is the sampler's MASTER key chain, not a one-shot subkey:
         the loop body performs the same `key, k = split(key)` advance the
         host loop's `_next_key()` does per iteration, and the final master
         key is returned so the caller stays on the identical stream. The
         whole-run path and the per-iteration host loop are therefore
         bit-exact replicas of each other (validated at multi-GiB scale by
-        benchmarks/fused_run_validation.py)."""
+        benchmarks/fused_run_validation.py).
+
+        `t_stop` (traced) bounds how many committed iterations this
+        DISPATCH may reach: the host re-enters with fresh bounds until
+        termination. Chunking exists because single device executions
+        longer than ~a minute crash the relayed TPU worker (round-4
+        measurement: a 16 KB-state program dies at ~5 min wall, passes at
+        ~30 s — a watchdog, not memory; this was the real cause of the
+        round-3 'multi-GiB history' crash). Chunk boundaries change
+        neither the RNG chain nor any computed value, so chunked,
+        single-dispatch, and host-loop execution are all bit-identical.
+        """
         capacity = hist.capacity
 
         def cond(c):
@@ -347,7 +378,7 @@ def make_fused_run(
             not_term = jax.lax.cond(
                 beta_unfinished, lambda h: jnp.asarray(True), ess_below_target, hist
             )
-            return not_term & (hist.t < capacity)
+            return not_term & (hist.t < jnp.minimum(capacity, t_stop))
 
         def body(c):
             key, hist, cur, model, fitted = c
@@ -365,14 +396,12 @@ def make_fused_run(
         return key, hist, cur, model, fitted
 
     cfg = config
-    # Donation is what makes the whole-run contract hold at multi-GiB
-    # histories: un-donated, XLA must copy the history into the loop carry
-    # while preserving the input — two full copies of the history live for
-    # the entire run, which exhausted HBM at N=2^19 x capacity 48 (the
-    # round-3 worker crash). With (hist, cur) donated the input aliases
-    # the carry/output allocation and the in-place dynamic-update-slices
-    # in commit() keep a single resident copy.
-    donate = (1, 2) if config.donate_state else ()
+    # Donation keeps the whole-run program at ONE resident history copy:
+    # un-donated, XLA must copy the history into the loop carry while
+    # preserving the input — two full copies live for the entire run.
+    # (Verified by compiled.memory_analysis() at N=2^19 x capacity 48:
+    # alias_size == argument_size == 2.13 GiB, temps 3.8 GiB.)
+    donate = (1, 2) if _donation_enabled(config) else ()
     out_sh = _state_out_shardings(config, have_blobs)
     if out_sh is None:
         return jax.jit(run, donate_argnums=donate)

@@ -658,6 +658,49 @@ class TestFusedHostEquality:
         assert np.array_equal(bf, bh)
         assert float(sf.logz) == float(sh.logz)
 
+    def test_on_device_chunked_dispatch_bit_exact(self):
+        """Chunked whole-run re-entry (tiny dispatch budget => one
+        iteration per device dispatch) must be bit-identical to the
+        host loop: chunk boundaries change neither the RNG chain nor any
+        computed value."""
+        import dataclasses
+        import jax.numpy as jnp
+        from tempest_tpu import Sampler
+        from tempest_tpu.core import SamplerCore
+
+        def prior(u):
+            return -10.0 + 20.0 * u
+
+        def loglike(x):
+            return -0.5 * jnp.sum(x * x, axis=-1)
+
+        def build():
+            return Sampler(
+                prior, loglike, n_dim=3, n_particles=32, vectorize=True,
+                clustering=True, random_state=11, history_capacity=24,
+            )
+
+        chunked = build()
+        # Force the smallest possible chunks (per_iter_est floors at 0.02s,
+        # so a 1e-6 s budget yields one iteration per dispatch).
+        chunked._core = SamplerCore(
+            dataclasses.replace(
+                chunked._core.config, on_device_dispatch_budget_s=1e-6
+            )
+        )
+        chunked.run(n_total=64, progress=False, on_device=True)
+
+        host = build()
+        host.run(n_total=64, progress=False, on_device=False)
+
+        t_c, t_h = int(chunked.state.hist.t), int(host.state.hist.t)
+        assert t_c == t_h
+        assert np.array_equal(
+            np.asarray(chunked.state.hist.beta)[:t_c],
+            np.asarray(host.state.hist.beta)[:t_h],
+        )
+        assert float(chunked.logz) == float(host.logz)
+
     def test_on_device_large_history_warns(self):
         # The warning must fire BEFORE the whole-run program is built, so
         # stub the fused-run constructor and lower the (6 GiB) bar on the
