@@ -375,9 +375,15 @@ class SamplerCore:
         import time as _time
 
         budget = self.config.on_device_dispatch_budget_s
-        per_iter_est = None
+        per_iter_est = bytes_floor = None
         if budget is not None:
+            # Bytes-based prior (~2.4 ns/history-byte measured, 4x margin)
+            # and a floor at a quarter of it: early measured iterations are
+            # warm-ups (prior draws, several times cheaper than the
+            # steady-state mutation iterations) and must not talk the
+            # estimate down into watchdog territory.
             per_iter_est = max(0.02, 10e-9 * hist_bytes)
+            bytes_floor = 0.25 * per_iter_est
 
         while True:
             t_before = int(self.hist.t)
@@ -405,7 +411,8 @@ class SamplerCore:
             self.trainer._model = self._fused_model
             t_after = int(self.hist.t)  # genuine device sync
             if budget is not None and t_after > t_before:
-                per_iter_est = max((_time.time() - t0) / (t_after - t_before), 1e-4)
+                measured = (_time.time() - t0) / (t_after - t_before)
+                per_iter_est = max(measured, bytes_floor, 1e-4)
             if self.pbar is not None:
                 if self.pbar.progress_bar is not None:
                     self.pbar.progress_bar.update(t_after - self.pbar.progress_bar.n)
