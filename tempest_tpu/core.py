@@ -417,9 +417,23 @@ class SamplerCore:
                 if self.pbar.progress_bar is not None:
                     self.pbar.progress_bar.update(t_after - self.pbar.progress_bar.n)
                 self._update_progress_bar()
-            if not self._not_termination():
+            if t_after < min(t_stop, self.hist.capacity):
+                # The device loop stopped BEFORE its iteration bound, so its
+                # cond — the exact termination predicate — failed on-device:
+                # no host-side recheck needed. (The recheck costs a beta
+                # fetch plus an O(T*N) posterior-ESS dispatch+fetch through
+                # the tunnel, ~0.1-0.2 s — a measurable tax on sub-second
+                # flagship runs.)
                 break
-            self._ensure_capacity()  # loop exited because capacity filled
+            if t_after >= self.hist.capacity:
+                # Capacity filled: termination unknown — check, grow, go on.
+                if not self._not_termination():
+                    break
+                self._ensure_capacity()
+            # else: chunk boundary (t_after == t_stop < capacity) —
+            # re-enter directly; if the run is actually finished the next
+            # dispatch's first cond evaluation exits immediately and the
+            # early break above fires.
         self._prune_blob_store()
 
     def _not_termination(self) -> bool:
