@@ -63,6 +63,7 @@ class Sampler:
         split_all: Optional[bool] = None,
         fused: Optional[bool] = None,
         leaf_fit_points: Optional[int] = None,
+        on_device_dispatch_budget_s: Optional[float] = -1.0,
     ):
         import jax.numpy as jnp
 
@@ -86,6 +87,10 @@ class Sampler:
             extra["fused"] = fused
         if leaf_fit_points is not None:
             extra["leaf_fit_points"] = leaf_fit_points
+        # Sentinel -1.0 = "use the config default"; None is a meaningful
+        # user value here (disable chunking entirely).
+        if on_device_dispatch_budget_s is None or on_device_dispatch_budget_s >= 0:
+            extra["on_device_dispatch_budget_s"] = on_device_dispatch_budget_s
 
         config = SamplerConfig(
             prior_transform=prior_transform,
