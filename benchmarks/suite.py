@@ -196,7 +196,22 @@ def rosenbrock100():
     )
 
 
-def run_config(name, seed=42):
+def run_config(name, seed=42, timing_reps=3):
+    """Run one config: accuracy fields from the canonical `seed` run,
+    eff/s as the MEDIAN over `timing_reps` distinct-seed runs.
+
+    Two measured hazards force the multi-seed median
+    (benchmarks/results/regression_investigation_r5.json):
+      * the axon relay MEMOIZES identical-input executions, so re-invoking
+        an already-seen (seed, config) pair measures the relay cache, not
+        the device;
+      * relay dispatch jitter is ~+/-0.1 s, which dominates the sub-second
+        configs (a single draw swung mixture10's reported eff/s 2x between
+        rounds with an identical trajectory).
+    Each timing rep uses its own derived seed (distinct inputs -> no
+    memoization within or across invocations of different rounds), and the
+    median suppresses single-draw jitter.
+    """
     from tempest_tpu import Sampler
     from tempest_tpu.ops.tools import ess_from_logw
     from tempest_tpu.state import compute_logw_and_logz
@@ -216,37 +231,63 @@ def run_config(name, seed=42):
             volume_variation=cfg.get("volume_variation"),
         )
 
-    # warm-up/compile run with the same shapes, then the timed run
+    # warm-up/compile run with the same shapes, then the timed runs
     s = build(seed + 1)
     s.run(n_total=max(512, cfg["n_particles"]), progress=False, on_device=cfg["on_device"])
-    s.reset(random_state=seed)
 
-    t0 = time.time()
-    s.run(n_total=cfg["n_total"], progress=False, on_device=cfg["on_device"])
-    _ = float(jnp.sum(s.state.cur.logl))  # genuine value fetch, not just block
-    wall = time.time() - t0
+    eff_runs = []
+    canonical = None
+    for rep in range(timing_reps):
+        # rep 0 is the canonical seed (accuracy fields); later reps use
+        # well-separated derived seeds for independent timing draws.
+        rep_seed = seed if rep == 0 else seed + 7919 * rep
+        s.reset(random_state=rep_seed)
+        t0 = time.time()
+        s.run(n_total=cfg["n_total"], progress=False, on_device=cfg["on_device"])
+        _ = float(jnp.sum(s.state.cur.logl))  # genuine value fetch, not just block
+        wall = time.time() - t0
 
-    logw, _ = compute_logw_and_logz(s.state.hist, 1.0)
-    ess = float(ess_from_logw(logw))
-    logz, _ = s.evidence()
+        logw, _ = compute_logw_and_logz(s.state.hist, 1.0)
+        ess = float(ess_from_logw(logw))
+        eff_runs.append({"seed": rep_seed, "wall_s": round(wall, 3),
+                         "ess": round(ess, 1),
+                         "eff_per_s": round(ess / wall, 2)})
+        if rep == 0:
+            logz, _ = s.evidence()
+            canonical = {
+                "ess": round(ess, 1),
+                "logz": round(float(logz), 3),
+                "iterations": int(s.state.hist.t),
+                "calls": int(s.calls),
+            }
+            if cfg.get("check_modes"):
+                # Multimodal recovery on the canonical run: clusters found
+                # + posterior mass per mode (s mutates on later reps).
+                x, w, _ = s.posterior()
+                canonical["n_modes_found"] = int(
+                    s.state.trainer.cluster_model.n_clusters()
+                )
+                canonical["mode_mass_split"] = round(
+                    float(np.sum(w[x[:, 0] > 0])), 3
+                )
+
+    med = sorted(r["eff_per_s"] for r in eff_runs)[len(eff_runs) // 2]
     out = {
         "config": name,
-        "eff_samples_per_s": round(ess / wall, 2),
-        "wall_s": round(wall, 2),
-        "ess": round(ess, 1),
-        "logz": round(float(logz), 3),
-        "iterations": int(s.state.hist.t),
-        "calls": int(s.calls),
+        "eff_samples_per_s": med,
+        "wall_s": sorted(r["wall_s"] for r in eff_runs)[len(eff_runs) // 2],
+        "ess": canonical["ess"],
+        "logz": canonical["logz"],
+        "iterations": canonical["iterations"],
+        "calls": canonical["calls"],
+        "timing_runs": [{k: v for k, v in r.items()} for r in eff_runs],
     }
     if cfg["analytic_logz"] is not None:
         out["logz_analytic"] = round(cfg["analytic_logz"], 3)
-        out["logz_err"] = round(float(logz) - cfg["analytic_logz"], 3)
+        out["logz_err"] = round(canonical["logz"] - cfg["analytic_logz"], 3)
     if cfg.get("check_modes"):
-        # Multimodal recovery: clusters found + posterior mass per mode.
-        x, w, _ = s.posterior()
-        mass_pos = float(np.sum(w[x[:, 0] > 0]))
-        out["n_modes_found"] = int(s.state.trainer.cluster_model.n_clusters())
-        out["mode_mass_split"] = round(mass_pos, 3)
+        out["n_modes_found"] = canonical["n_modes_found"]
+        out["mode_mass_split"] = canonical["mode_mass_split"]
     return out
 
 
