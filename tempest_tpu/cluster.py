@@ -603,9 +603,13 @@ def _split_round(
     the BIC gate and the child assignment are evaluated on the FULL
     membership with one density pass at the final parameters. Leaves with
     <= n_sub members fit on exactly their member set (zero-weight padding
-    rows are inert in the weighted EM), so the result is identical to the
-    full fit; larger leaves drop only their lowest-weight tail, the same
-    truncation (and rationale) as the global train_max_points selection.
+    rows are inert in the weighted EM): the closed-form K=1 fit is then
+    IDENTICAL to the full-width fit, while the K=2 fit is statistically
+    equivalent rather than bit-identical — top_k reorders the rows, so the
+    k-means++ init's inverse-CDF uniform draw lands on a different (equally
+    distributed) point. Larger leaves drop only their lowest-weight tail,
+    the same truncation (and rationale) as the global train_max_points
+    selection.
 
     `k_slots` (static, default k_max) bounds how many leaf SLOTS this round
     evaluates. Round r of the bisecting tree can hold at most 2^r leaves,

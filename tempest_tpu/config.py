@@ -132,8 +132,11 @@ class SamplerConfig:
     # n_sub) tensors instead of (k_max, n) — the clustered path's dominant
     # HBM term), while the BIC split gate and child relabeling stay on the
     # FULL membership via one density pass at the final parameters. Leaves
-    # with fewer members fit identically (zero-weight padding is inert in
-    # the weighted EM). None = auto (train_max_points // 2 — measured as
+    # with fewer members fit on exactly their member set (zero-weight
+    # padding is inert in the weighted EM): K=1 fits are then identical to
+    # the full-width fit; K=2 fits are statistically equivalent (top_k
+    # reorders rows, so the k-means++ inverse-CDF init draws a different,
+    # equally distributed point). None = auto (train_max_points // 2 — measured as
     # the safe truncation: half the fit set keeps the mode-discovery and
     # logZ behavior of the full fit on the 10-D bimodal validation, while
     # a quarter loses modes because the top-by-weight subset of a leaf

@@ -376,6 +376,7 @@ class SamplerCore:
 
         budget = self.config.on_device_dispatch_budget_s
         per_iter_est = bytes_floor = None
+        measured_once = False
         if budget is not None:
             # Bytes-based prior (~2.4 ns/history-byte measured, 4x margin)
             # and a floor at a quarter of it: early measured iterations are
@@ -385,12 +386,26 @@ class SamplerCore:
             per_iter_est = max(0.02, 10e-9 * hist_bytes)
             bytes_floor = 0.25 * per_iter_est
 
+        # The bytes prior knows nothing about the user likelihood's cost, so
+        # before any measurement exists the chunk also gets an absolute
+        # iteration cap: a likelihood-dominated run (say 0.6 s/iter from a
+        # 10 ms model at ~60 mutation sweeps) with a small history would
+        # otherwise get a first dispatch of 1000+ iterations and blow the
+        # ~60 s worker watchdog before the estimator ever sees a wall. 64
+        # keeps every flagship-scale run single-dispatch (their ladders are
+        # < 64 iterations) while bounding the unmeasured worst case; host
+        # pure_callback likelihoods get a much tighter cap since their
+        # per-iteration cost is both unbounded and invisible to the prior.
+        first_chunk_cap = 4 if self.config.host_likelihood else 64
+
         while True:
             t_before = int(self.hist.t)
             if budget is None:
                 t_stop = self.hist.capacity
             else:
                 chunk = max(1, int(0.5 * budget / per_iter_est))
+                if not measured_once:
+                    chunk = min(chunk, first_chunk_cap)
                 t_stop = min(self.hist.capacity, t_before + chunk)
             t0 = _time.time()
             (
@@ -412,7 +427,18 @@ class SamplerCore:
             t_after = int(self.hist.t)  # genuine device sync
             if budget is not None and t_after > t_before:
                 measured = (_time.time() - t0) / (t_after - t_before)
+                # Asymmetric blend: a SLOWER measurement is trusted
+                # immediately (underestimating per-iter cost risks a
+                # watchdog kill — fatal), but the estimate only comes DOWN
+                # by 4x per dispatch, so one relay-memoized or hiccup-fast
+                # wall cannot collapse subsequent chunks; conversely a
+                # single cold-compile-bearing dispatch inflates the
+                # estimate for only ~log4(inflation) cheap 1-iteration
+                # dispatches before it re-converges.
+                if measured < per_iter_est:
+                    measured = max(measured, per_iter_est / 4.0)
                 per_iter_est = max(measured, bytes_floor, 1e-4)
+                measured_once = True
             if self.pbar is not None:
                 if self.pbar.progress_bar is not None:
                     self.pbar.progress_bar.update(t_after - self.pbar.progress_bar.n)

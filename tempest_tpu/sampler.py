@@ -88,9 +88,16 @@ class Sampler:
         if leaf_fit_points is not None:
             extra["leaf_fit_points"] = leaf_fit_points
         # Sentinel -1.0 = "use the config default"; None is a meaningful
-        # user value here (disable chunking entirely).
+        # user value here (disable chunking entirely). Any other negative
+        # is a typo, not a request for the default.
         if on_device_dispatch_budget_s is None or on_device_dispatch_budget_s >= 0:
             extra["on_device_dispatch_budget_s"] = on_device_dispatch_budget_s
+        elif on_device_dispatch_budget_s != -1.0:
+            raise ValueError(
+                "on_device_dispatch_budget_s must be a non-negative number of "
+                "seconds, None (disable chunking), or the -1.0 sentinel for "
+                f"the config default; got {on_device_dispatch_budget_s!r}"
+            )
 
         config = SamplerConfig(
             prior_transform=prior_transform,

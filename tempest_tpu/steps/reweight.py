@@ -81,19 +81,30 @@ def _find_ess_bracket(ess_at, beta_current, ess_target, dtype):
     ess_one = ess_at(one)
 
     def bisect(_):
+        # Hard cap at MAX_BISECTION_ITERATIONS like every other bisection
+        # (reference reweight.py:121 applies the 200-cap to the bracket
+        # search too): the interval tolerance alone would never terminate
+        # if the tolerance arithmetic returned NaN (NaN > NaN is False so
+        # the plain cond WOULD exit — but a NaN ESS flipping lo/hi
+        # selection could otherwise stall progress at a frozen interval).
         def cond(c):
-            lo, hi = c
-            return (hi - lo) > _beta_interval_tol(lo, hi)
+            lo, hi, i = c
+            return ((hi - lo) > _beta_interval_tol(lo, hi)) & (
+                i < MAX_BISECTION_ITERATIONS
+            )
 
         def body(c):
-            lo, hi = c
+            lo, hi, i = c
             mid = 0.5 * (lo + hi)
             ess_mid = ess_at(mid)
             lo = jnp.where(ess_mid >= ess_target, mid, lo)
             hi = jnp.where(ess_mid >= ess_target, hi, mid)
-            return lo, hi
+            return lo, hi, i + 1
 
-        return jax.lax.while_loop(cond, body, (beta_current, one))
+        lo, hi, _ = jax.lax.while_loop(
+            cond, body, (beta_current, one, jnp.asarray(0, jnp.int32))
+        )
+        return lo, hi
 
     lo, hi = jax.lax.cond(
         (ess_cur <= ess_target) | (ess_one >= ess_target),

@@ -119,6 +119,19 @@ class TestValidation:
         with pytest.raises(ValueError, match="tpcn.*rwm"):
             make(sample="hamiltonian")
 
+    def test_negative_dispatch_budget_rejected(self):
+        # -1.0 is the "config default" sentinel; any OTHER negative is a
+        # typo and must not silently become the default.
+        from tempest_tpu import Sampler
+
+        with pytest.raises(ValueError, match="on_device_dispatch_budget_s"):
+            Sampler(
+                lambda u: u,
+                lambda x: 0.0,
+                n_dim=2,
+                on_device_dispatch_budget_s=-5.0,
+            )
+
     def test_invalid_resample(self):
         with pytest.raises(ValueError, match="mult.*syst"):
             make(resample="stratified")

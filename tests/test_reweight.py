@@ -121,3 +121,40 @@ class TestReweightDynamic:
             hist, jnp.asarray(0.0, jnp.float32), 64.0, cv_target=1e-4, dynamic=True
         )
         assert float(rw_dyn.beta) <= float(rw_ess.beta) + 1e-5
+
+    def test_nan_history_terminates(self):
+        # Adversarial NaN-poisoned logl: every ESS/metric probe evaluates to
+        # NaN. The bracket search and both bisections must still terminate
+        # (MAX_BISECTION_ITERATIONS hard cap, reference reweight.py:121) and
+        # return without hanging the while_loops.
+        rng = np.random.default_rng(8)
+        N = 64
+        logl = rng.normal(-30.0, 5.0, size=N)
+        logl[::3] = np.nan
+        hist = _history_with([logl], [0.0], [0.0], n_dim=3, seed=8)
+        for dynamic in (False, True):
+            rw = reweight(
+                hist,
+                jnp.asarray(0.0, jnp.float32),
+                32.0,
+                cv_target=0.05,
+                dynamic=dynamic,
+                use_pallas=False,
+            )
+            beta = float(rw.beta)
+            # Terminated with an in-range (or NaN, but not hung) result.
+            assert np.isnan(beta) or 0.0 <= beta <= 1.0
+
+    def test_all_nan_history_terminates(self):
+        # Fully-NaN logl drives even the interval arithmetic to NaN.
+        logl = np.full(32, np.nan)
+        hist = _history_with([logl], [0.0], [0.0], n_dim=2, seed=9)
+        rw = reweight(
+            hist,
+            jnp.asarray(0.0, jnp.float32),
+            16.0,
+            cv_target=0.05,
+            dynamic=True,
+            use_pallas=False,
+        )
+        assert rw.beta.shape == ()
