@@ -445,6 +445,107 @@ def gmm_bic(
     return -2.0 * ll + n_parameters * jnp.log(jnp.maximum(n_leaf, 1.0))
 
 
+class GaussianMixture:
+    """Standalone weighted-GMM facade over `gmm_fit`/`gmm_predict`/`gmm_bic`.
+
+    API-surface parity with the reference's public class
+    (/root/reference/tempest/cluster.py:5-340): same constructor keywords,
+    `fit(X, sample_weight)` returning self, `predict(X)`, `bic(X)`, and the
+    fitted attributes `weights_`/`means_`/`covariances_`/`converged_`/
+    `n_iter_`/`lower_bound_`. The EM itself is the same single jitted
+    device program the hierarchical clusterer uses (vmapped n_init
+    restarts, k-means++ init, all four covariance types).
+
+    One representational difference: `covariances_` is always returned as
+    (K, d, d) full matrices — tied/diag/spherical fits constrain the EM
+    updates but store the expanded matrix (the reference stores per-type
+    compressed shapes). `bic()` still counts the per-type free parameters.
+    """
+
+    def __init__(
+        self,
+        n_components: int = 1,
+        covariance_type: str = "full",
+        max_iter: int = 1000,
+        n_init: int = 1,
+        tol: float = 1e-3,
+        reg_covar: float = 1e-6,
+        random_state: Optional[int] = None,
+    ):
+        if covariance_type not in ("full", "tied", "diag", "spherical"):
+            raise ValueError(
+                "covariance_type must be one of 'full', 'tied', 'diag', "
+                f"'spherical'; got {covariance_type!r}"
+            )
+        self.n_components = int(n_components)
+        self.covariance_type = covariance_type
+        self.max_iter = int(max_iter)
+        self.n_init = int(n_init)
+        self.tol = float(tol)
+        self.reg_covar = float(reg_covar)
+        self.random_state = random_state
+
+        self.weights_ = None
+        self.means_ = None
+        self.covariances_ = None
+        self.converged_ = False
+        self.n_iter_ = 0
+        self.lower_bound_ = None
+        self._params: Optional[GMMParams] = None
+
+    def fit(self, X, sample_weight=None) -> "GaussianMixture":
+        """Fit the weighted GMM; returns self (cluster.py:56-133)."""
+        X = jnp.asarray(X)
+        n = X.shape[0]
+        if sample_weight is None:
+            sample_weight = jnp.ones((n,), dtype=X.dtype)
+        else:
+            sample_weight = jnp.asarray(sample_weight, dtype=X.dtype)
+        key = jax.random.key(0 if self.random_state is None else self.random_state)
+        params = gmm_fit(
+            key,
+            X,
+            sample_weight,
+            self.n_components,
+            covariance_type=self.covariance_type,
+            max_iter=self.max_iter,
+            tol=self.tol,
+            reg_covar=self.reg_covar,
+            n_init=self.n_init,
+        )
+        self._params = params
+        self.weights_ = np.asarray(params.weights)
+        self.means_ = np.asarray(params.means)
+        self.covariances_ = np.asarray(params.covariances)
+        self.n_iter_ = int(params.n_iter)
+        self.converged_ = self.n_iter_ < self.max_iter
+        self.lower_bound_ = float(params.lower_bound)
+        return self
+
+    def _require_fitted(self):
+        if self._params is None:
+            raise ValueError("GaussianMixture is not fitted; call fit() first.")
+
+    def predict(self, X) -> np.ndarray:
+        """Hard labels by max posterior (cluster.py:285-308)."""
+        self._require_fitted()
+        return np.asarray(
+            gmm_predict(self._params, jnp.asarray(X), reg_covar=self.reg_covar)
+        )
+
+    def bic(self, X) -> float:
+        """BIC with per-type free-parameter counts (cluster.py:310-340)."""
+        self._require_fitted()
+        return float(
+            gmm_bic(
+                self._params,
+                jnp.asarray(X),
+                covariance_type=self.covariance_type,
+                reg_covar=self.reg_covar,
+            )
+        )
+
+
 # ---------------------------------------------------------------------------
 # Hierarchical (bisecting) clustering with BIC gate
 # ---------------------------------------------------------------------------

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from tempest_tpu.cluster import (
+    GaussianMixture,
     HierarchicalGaussianMixture,
     cluster_predict,
     cluster_predict_proba,
@@ -77,6 +78,67 @@ class TestGMM:
         p2 = gmm_fit(jax.random.PRNGKey(6), X, w, 2)
         # BIC penalty should keep K=1 competitive (within penalty magnitude)
         assert float(gmm_bic(p1, X)) <= float(gmm_bic(p2, X)) + 50.0
+
+
+class TestGaussianMixtureFacade:
+    """Public class facade (reference cluster.py:5-340 API surface)."""
+
+    def test_fit_returns_self_and_sets_attributes(self):
+        gm = GaussianMixture(n_components=2, random_state=0)
+        out = gm.fit(two_blobs(seed=10))
+        assert out is gm
+        assert gm.weights_.shape == (2,)
+        assert gm.means_.shape == (2, 2)
+        assert gm.covariances_.shape == (2, 2, 2)
+        assert gm.converged_
+        assert gm.n_iter_ >= 1
+        assert np.isfinite(gm.lower_bound_)
+        means = np.sort(gm.means_[:, 0])
+        np.testing.assert_allclose(means, [0.0, 4.0], atol=0.3)
+
+    def test_predict_separates_blobs(self):
+        X = two_blobs(seed=11)
+        gm = GaussianMixture(n_components=2, random_state=1).fit(X)
+        labels = gm.predict(X)
+        assert labels.shape == (400,)
+        # each blob gets a homogeneous label
+        assert len(set(labels[:200])) == 1
+        assert len(set(labels[200:])) == 1
+        assert labels[0] != labels[-1]
+
+    def test_bic_prefers_two_components_for_bimodal(self):
+        # n_init restarts guard against a collapsed single-seed K=2 init
+        # (and exercise the vmapped best-of-n path through the facade).
+        X = two_blobs(seed=12)
+        bic1 = GaussianMixture(n_components=1, random_state=2, n_init=4).fit(X).bic(X)
+        bic2 = GaussianMixture(n_components=2, random_state=2, n_init=4).fit(X).bic(X)
+        assert bic2 < bic1
+
+    @pytest.mark.parametrize("ctype", ["full", "tied", "diag", "spherical"])
+    def test_covariance_types(self, ctype):
+        rng = np.random.default_rng(13)
+        X = rng.standard_normal((300, 3))
+        gm = GaussianMixture(covariance_type=ctype, random_state=3).fit(X)
+        assert gm.covariances_.shape == (1, 3, 3)
+        assert np.all(np.isfinite(gm.covariances_))
+        assert np.isfinite(gm.bic(X))
+
+    def test_sample_weight_honored(self):
+        X = two_blobs(seed=14)
+        w = np.concatenate([np.ones(200), np.zeros(200)])
+        gm = GaussianMixture(n_components=1, random_state=4).fit(X, sample_weight=w)
+        np.testing.assert_allclose(gm.means_[0], [0.0, 0.0], atol=0.2)
+
+    def test_unfitted_raises(self):
+        gm = GaussianMixture()
+        with pytest.raises(ValueError, match="not fitted"):
+            gm.predict(np.zeros((4, 2)))
+        with pytest.raises(ValueError, match="not fitted"):
+            gm.bic(np.zeros((4, 2)))
+
+    def test_bad_covariance_type_raises(self):
+        with pytest.raises(ValueError, match="covariance_type"):
+            GaussianMixture(covariance_type="banana")
 
 
 class TestHGM:
