@@ -171,6 +171,18 @@ def measure_rng(n_walkers, repeats=10, samples=3):
             jax.random.gamma(k, jnp.full((n_walkers,), 5.005) * (1 + s * 0))
         ) * 0
     )
+
+    # Same draws from the hardware PRNG (config.hardware_prng=True path).
+    from tempest_tpu.ops.pallas_prng import hw_gamma, hw_normal
+
+    out["hw_normal_candidates_ms"] = fori(
+        lambda k, s: jnp.sum(hw_normal(k, (N_CAND, n_walkers, N_DIM))) * 0 + s * 0
+    )
+    out["hw_gamma_mixture_ms"] = fori(
+        lambda k, s: jnp.sum(
+            hw_gamma(k, jnp.full((n_walkers,), 5.005) * (1 + s * 0))
+        ) * 0
+    )
     return out
 
 
@@ -262,6 +274,8 @@ def main():
     else:
         rng = large["rng_attribution"]
         rng_ms = rng["normal_candidates_ms"] + rng["gamma_mixture_ms"]
+        hw_ms = rng["hw_normal_candidates_ms"] + rng["hw_gamma_mixture_ms"]
+        step_ms = large["sweep_ms"] / STEPS_PER_SWEEP
         parts.append(
             f"Large-ensemble shape (N=2^18): step at "
             f"{large['fraction_of_roofline']:.0%} of the analytic HBM "
@@ -269,14 +283,15 @@ def main():
             f"threefry normal candidates ({rng['normal_candidates_ms']} ms) "
             f"plus the rejection-sampled inverse-gamma mixture scale "
             f"({rng['gamma_mixture_ms']} ms) alone account for ~"
-            f"{rng_ms / large['sweep_ms'] * STEPS_PER_SWEEP:.0%} of the "
-            "measured step. The known fix is hardware-PRNG draw generation "
-            "(a small Pallas bits+Box-Muller kernel) and n_candidates=1 "
-            "for interior posteriors — noted as a future lever rather than "
-            "built, because at whole-run scale the mutation sweep is only "
-            "a few percent of a large-ensemble iteration (the O(S) "
-            "reweight/trim/commit stages dominate), so it does not move "
-            "end-to-end throughput."
+            f"{rng_ms / step_ms:.0%} of the "
+            "measured step. The fix is BUILT as of round 5: "
+            "config.hardware_prng=True draws both from the TPU hardware "
+            "PRNG (ops/pallas_prng.py — paired Box-Muller normals "
+            f"{rng['hw_normal_candidates_ms']} ms, Marsaglia-Tsang gamma "
+            f"{rng['hw_gamma_mixture_ms']} ms), cutting the step's RNG "
+            f"share to ~{hw_ms / max(step_ms - rng_ms + hw_ms, 1e-9):.1%}. "
+            "Default off: the hardware stream is statistically equivalent "
+            "but not bit-compatible with threefry replays."
         )
     report["conclusion"] = " ".join(parts)
     out = "benchmarks/results/mutation_roofline.json"

@@ -116,6 +116,7 @@ class SamplerCore:
             strict_mask=s_mask,
             n_candidates=cfg.n_candidates,
             have_blobs=self.have_blobs,
+            hardware_prng=cfg.hardware_prng,
         )
         self._warmup = make_warmup_kernel(
             self._loglike_batch, self._prior_batch, cfg.n_particles, cfg.n_dim, cfg.dtype

@@ -67,6 +67,7 @@ def _make_iteration_fn(
         have_blobs=(
             cfg.blobs_dtype is not None if have_blobs is None else have_blobs
         ),
+        hardware_prng=cfg.hardware_prng,
     )
     dummy_cluster = single_cluster_model(cfg.n_dim, k_max, cfg.dtype)
     warmup = make_warmup_kernel(

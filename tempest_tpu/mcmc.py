@@ -37,6 +37,13 @@ import jax.numpy as jnp
 
 from .modes import ModeStatistics
 from .ops.boundary import apply_boundary_conditions, check_bounds
+from .ops.pallas_prng import hw_gamma, hw_normal, hw_prng_supported
+
+# hardware_prng size gates (measured, benchmarks/results/mutation_roofline.json):
+# below these the hardware path is at or above the threefry cost because
+# kernel-launch overhead dominates the draw itself.
+_HW_NORMAL_MIN_ELEMS = 1 << 20
+_HW_GAMMA_MIN_WALKERS = 1 << 16
 
 
 class MCMCResult(NamedTuple):
@@ -134,6 +141,7 @@ def make_mcmc_kernel(
     strict_mask: Optional[jnp.ndarray] = None,
     n_candidates: int = 8,
     have_blobs: bool = False,
+    hardware_prng: bool = False,
 ):
     """Build the jitted adaptive-MCMC mutation function.
 
@@ -166,7 +174,15 @@ def make_mcmc_kernel(
         quickly makes rare, since forced rejections shrink sigma).
         """
         R = n_candidates
-        z = jax.random.normal(key, (R,) + u.shape, dtype=u.dtype)  # (R, N, d)
+        n_elems = R * u.shape[0] * u.shape[1]
+        if hardware_prng and hw_prng_supported(u.dtype) and n_elems >= _HW_NORMAL_MIN_ELEMS:
+            # Hardware-PRNG draws (different, equally valid RNG stream —
+            # see config.hardware_prng); 2.1x faster than threefry at
+            # large N (ops/pallas_prng.py). Size-gated: below ~1M draws
+            # both paths are at the launch-overhead floor.
+            z = hw_normal(key, (R,) + u.shape, dtype=u.dtype)
+        else:
+            z = jax.random.normal(key, (R,) + u.shape, dtype=u.dtype)  # (R, N, d)
         step = mode_step(z)  # z_rn @ L_{a(n)}^T
         if is_tpcn:
             cand = (
@@ -254,7 +270,19 @@ def make_mcmc_kernel(
                 dot = quad(diff)
                 g_shape = (n_dim + dof_w) / 2.0
                 g_scale = 2.0 / (dof_w + dot)
-                g = jax.random.gamma(k_g, g_shape, dtype=dtype)
+                if (
+                    hardware_prng
+                    and hw_prng_supported(dtype)
+                    and n_walkers >= _HW_GAMMA_MIN_WALKERS
+                ):
+                    # 12x faster than XLA's threefry gamma at N=2^18
+                    # (0.995 -> 0.079 ms); statistical-only equivalence.
+                    # Size-gated: the unrolled Marsaglia-Tsang rounds are
+                    # ~13 kernel launches, which LOSE below ~64k walkers
+                    # (measured 0.077 vs 0.031 ms at N=1024).
+                    g = hw_gamma(k_g, g_shape, dtype=dtype)
+                else:
+                    g = jax.random.gamma(k_g, g_shape, dtype=dtype)
                 s_mix = 1.0 / (g * g_scale)
                 scale_w = jnp.sqrt(s_mix)
             else:

@@ -64,6 +64,7 @@ class Sampler:
         fused: Optional[bool] = None,
         leaf_fit_points: Optional[int] = None,
         on_device_dispatch_budget_s: Optional[float] = -1.0,
+        hardware_prng: bool = False,
     ):
         import jax.numpy as jnp
 
@@ -87,6 +88,8 @@ class Sampler:
             extra["fused"] = fused
         if leaf_fit_points is not None:
             extra["leaf_fit_points"] = leaf_fit_points
+        if hardware_prng:
+            extra["hardware_prng"] = True
         # Sentinel -1.0 = "use the config default"; None is a meaningful
         # user value here (disable chunking entirely). Any other negative
         # is a typo, not a request for the default.

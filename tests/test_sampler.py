@@ -92,6 +92,25 @@ class TestBasicRun:
         assert s2.beta == 1.0
 
 
+class TestHardwarePrngFallback:
+    def test_cpu_falls_back_to_threefry_bit_exactly(self):
+        """hardware_prng=True on a non-TPU backend must be a no-op: the
+        gate (ops.pallas_prng.hw_prng_supported) fails on CPU, so the
+        threefry path runs and results are bit-identical to flag-off."""
+        from tempest_tpu.ops.pallas_prng import hw_prng_supported
+
+        assert not hw_prng_supported(jnp.float32)  # conftest forces CPU
+        s_off = make_sampler(random_state=11)
+        s_off.run(n_total=256, progress=False)
+        s_on = make_sampler(random_state=11, hardware_prng=True)
+        s_on.run(n_total=256, progress=False)
+        assert float(s_on.logz) == float(s_off.logz)
+        assert int(s_on.state.hist.t) == int(s_off.state.hist.t)
+        np.testing.assert_array_equal(
+            np.asarray(s_on.state.cur.logl), np.asarray(s_off.state.cur.logl)
+        )
+
+
 class TestSamplerVariants:
     def test_rwm(self):
         s = make_sampler(sample="rwm")

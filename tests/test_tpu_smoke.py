@@ -121,3 +121,49 @@ def test_history_layout_physical_bytes():
     after = buf.addressable_shards[0].device.memory_stats()["bytes_in_use"]
     phys = after - before
     assert phys <= 2 * logical, f"physical {phys} vs logical {logical}"
+
+
+def test_hw_prng_statistics():
+    """Hardware-PRNG draw kernels (ops/pallas_prng.py): moments of the
+    paired Box-Muller normals, the (0,1] uniform mapping, and the
+    Marsaglia-Tsang gamma (incl. the alpha<1 boost) against analytic
+    values. Tolerances are ~5 sigma for n=2^20 draws."""
+    from tempest_tpu.ops.pallas_prng import (
+        hw_gamma,
+        hw_normal,
+        hw_prng_supported,
+        hw_uniform,
+    )
+
+    assert hw_prng_supported(jnp.float32)
+    n = 1 << 20
+    z = np.asarray(hw_normal(jax.random.key(0), (n,)))
+    assert abs(z.mean()) < 0.005
+    assert abs(z.var() - 1.0) < 0.01
+    kurt = ((z - z.mean()) ** 4).mean() / z.var() ** 2
+    assert abs(kurt - 3.0) < 0.05
+    # 3-sigma tail mass (Box-Muller tails must not be clipped early)
+    assert abs((np.abs(z) > 3).mean() - 0.0027) < 0.0005
+
+    u = np.asarray(hw_uniform(jax.random.key(1), (n,)))
+    assert 0.0 < u.min() and u.max() <= 1.0
+    assert abs(u.mean() - 0.5) < 0.002
+    assert abs(u.var() - 1.0 / 12.0) < 0.001
+
+    for a in (0.5, 1.5, 7.5, 50.0):
+        g = np.asarray(hw_gamma(jax.random.key(2), jnp.full((1 << 18,), a, jnp.float32)))
+        assert g.min() > 0.0
+        assert abs(g.mean() - a) < 5 * np.sqrt(a / (1 << 18)) + 0.01
+        assert abs(g.var() - a) < 0.05 * a + 0.02
+
+
+def test_hw_prng_e2e_statistical_equivalence():
+    """A full clustered annealing with hardware_prng=True completes with
+    correct evidence. (At smoke-test walker counts the mcmc size gates
+    keep the threefry path — this exercises the flag plumbing end-to-end;
+    the hardware kernels themselves are validated statistically above and
+    at scale by benchmarks/mutation_roofline.py.)"""
+    s = make_sampler(clustering=True, hardware_prng=True)
+    s.run(n_total=128, progress=False)
+    assert s.beta == 1.0
+    assert abs(s.logz - ANALYTIC_LOGZ) < 0.5
