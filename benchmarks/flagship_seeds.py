@@ -74,8 +74,49 @@ def run_series(clustering: bool, seeds):
         runs.append(r)
         print(("clustered" if clustering else "unimodal"), json.dumps(r), flush=True)
 
+    # --- On-chip throughput (VERDICT r4 item 6): the wall-clock eff/s above
+    # includes the relay tunnel's fixed per-run tax (dispatch + value
+    # shipping, ~0.1-0.5 s on a sub-second run). Differential measurement:
+    # invoke the SAME compiled whole-run program (traced t_stop chunk
+    # bound) to iteration K_LO and K_HI on fresh same-seed state; each
+    # invocation pays ONE identical tunnel round-trip, so
+    # (w_hi - w_lo)/(K_HI - K_LO) is the pure on-chip per-iteration wall.
+    K0, K1, K2 = 1, 15, 45
+    core = s._core
+    early_rates, steady_rates, taxes = [], [], []
+    for seed in seeds[: min(3, len(seeds))]:
+        walls = {}
+        for k in (K0, K1, K2):
+            core.reset(random_state=seed)
+            t0 = time.time()
+            out = core._fused_run(
+                core.key,
+                core.hist,
+                core.cur,
+                jnp.asarray(bench.N_TOTAL, jnp.int32),
+                core._fused_model,
+                core._fused_fitted,
+                jnp.asarray(k, jnp.int32),
+            )
+            t_after = int(out[1].t)  # genuine device sync
+            walls[k] = time.time() - t0
+            assert t_after == k, (t_after, k)
+        r_early = (walls[K1] - walls[K0]) / (K1 - K0)  # iters 2..15
+        r_steady = (walls[K2] - walls[K1]) / (K2 - K1)  # iters 16..45
+        early_rates.append(r_early)
+        steady_rates.append(r_steady)
+        taxes.append(walls[K0] - r_early)  # dispatch + shipping, minus 1 iter
+    r_early = float(np.median(early_rates))
+    r_steady = float(np.median(steady_rates))
+    tax = float(np.median(taxes))
+
     eff = np.array([r["eff_samples_per_s"] for r in runs])
     logz = np.array([r["logz"] for r in runs])
+    ess_arr = np.array([r["ess"] for r in runs])
+    iters_arr = np.array([r["iters"] for r in runs])
+    # piecewise on-chip wall: early-rate iterations 1..15, steady rate after
+    onchip_wall = r_early * K1 + r_steady * np.maximum(iters_arr - K1, 0)
+    onchip_eff = float(np.mean(ess_arr / onchip_wall))
     return {
         "clustering": clustering,
         "runs": runs,
@@ -83,6 +124,23 @@ def run_series(clustering: bool, seeds):
         "eff_samples_per_s_std": round(float(eff.std(ddof=1)) if len(runs) > 1 else 0.0, 2),
         "logz_mean": round(float(logz.mean()), 4),
         "logz_std": round(float(logz.std(ddof=1)) if len(runs) > 1 else 0.0, 4),
+        "onchip": {
+            "early_iteration_ms": round(r_early * 1e3, 3),
+            "steady_iteration_ms": round(r_steady * 1e3, 3),
+            "tunnel_tax_per_dispatch_s": round(tax, 3),
+            "onchip_wall_s_mean": round(float(onchip_wall.mean()), 3),
+            "implied_onchip_eff_samples_per_s": round(onchip_eff, 2),
+            "note": (
+                "piecewise differential over the SAME compiled whole-run "
+                f"program at traced t_stop={K0}/{K1}/{K2}: each invocation "
+                "pays one identical relay round-trip, so rate differences "
+                "are pure on-chip per-iteration wall (early iterations are "
+                "cheaper than steady-state ones). Wall-clock eff/s "
+                "additionally pays the tunnel tax reported here; on real "
+                "(untunneled) TPU hosts throughput approaches the implied "
+                "on-chip number."
+            ),
+        },
     }
 
 
