@@ -1,0 +1,156 @@
+"""BASELINE config #5 on real TPU silicon: 100-D Rosenbrock annealed to
+beta=1 at the single-chip memory-bound maximum ensemble size.
+
+The at-spec problem (N=2^20 persistent particles, 100-D, ~190-iteration
+ladder) needs (2d+2)*4 B * T * N ~= 148 GB of history — >= 10 v5e chips
+even before temporaries, which is exactly why BASELINE.json specifies it
+"sharded over N>=2 hosts" (hardware this rig does not have; the sharded
+path is validated on the 8-virtual-device CPU mesh by
+benchmarks/large_scale.py and __graft_entry__.dryrun_multichip). This run
+is the physics-limited single-chip complement: the SAME problem at the
+largest N whose full persistent history fits one chip's 16 GB HBM with
+the (d, T, N) layout — N=2^16 at capacity 192 = 10.2 GB resident
+(donated, single copy) — annealed to completion on real silicon.
+
+Usage: python benchmarks/config5_tpu.py [--n 65536] [--capacity 192]
+Writes: benchmarks/results/config5_tpu_complete.json
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+N_DIM = 100
+
+
+def prior(u):
+    return -10.0 + 20.0 * u
+
+
+def loglike(x):
+    return -jnp.sum(
+        100.0 * (x[..., 1:] - x[..., :-1] ** 2) ** 2 + (1.0 - x[..., :-1]) ** 2,
+        axis=-1,
+    )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=1 << 16)
+    p.add_argument("--capacity", type=int, default=192)
+    p.add_argument("--n-total", type=int, default=8192)
+    p.add_argument("--seed", type=int, default=5)
+    p.add_argument("--hardware-prng", action="store_true")
+    args = p.parse_args()
+
+    from tempest_tpu import Sampler
+    from tempest_tpu.ops.tools import ess_from_logw
+    from tempest_tpu.state import compute_logw_and_logz
+
+    hist_gb = (2 * N_DIM + 2) * 4 * args.capacity * args.n / 2**30
+    print(f"# N={args.n} capacity={args.capacity} history={hist_gb:.1f} GiB", flush=True)
+
+    s = Sampler(
+        prior,
+        loglike,
+        n_dim=N_DIM,
+        n_particles=args.n,
+        vectorize=True,
+        clustering=False,
+        random_state=args.seed,
+        history_capacity=args.capacity,
+        hardware_prng=args.hardware_prng,
+    )
+    t0 = time.time()
+    s.run(n_total=args.n_total, progress=False, on_device=True)
+    _ = float(jnp.sum(s.state.cur.logl))
+    wall = time.time() - t0
+
+    logw, _ = compute_logw_and_logz(s.state.hist, 1.0)
+    ess = float(ess_from_logw(logw))
+    logz, _ = s.evidence()
+
+    out = {
+        "description": (
+            "BASELINE configs[4] (100-D Rosenbrock) annealed to beta=1 on one "
+            "real TPU v5e chip at the memory-bound maximum persistent ensemble "
+            "(full MIS history resident in HBM, (d,T,N) layout, donated "
+            "buffers, watchdog-chunked whole-run dispatches). The at-spec "
+            "N=2^20 needs ~148 GB of history (>=10 chips); the sharded "
+            "multi-host path for that is validated on the virtual mesh "
+            "(large_scale.py, dryrun_multichip) — this artifact is the "
+            "completion proof on real silicon at single-chip scale."
+        ),
+        "config": {
+            "problem": "100-D Rosenbrock, U(-10,10) prior",
+            "n_particles": args.n,
+            "history_capacity": args.capacity,
+            "history_gib": round(hist_gb, 2),
+            "n_total": args.n_total,
+            "random_state": args.seed,
+            "hardware_prng": bool(args.hardware_prng),
+            "device": str(jax.devices()[0]),
+        },
+        "result": {
+            "beta_final": float(s.beta),
+            "iterations": int(s.state.hist.t),
+            "logz": round(float(logz), 3),
+            "posterior_ess": round(ess, 1),
+            "calls": int(s.calls),
+            "wall_s": round(wall, 1),
+            "eff_samples_per_s": round(ess / wall, 2),
+        },
+        "cross_checks": {
+            "cpu_mesh_sharded_n4096_logz": -561.37,
+            "cpu_unsharded_n4096_logz": -561.99,
+            "suite_n2048_logz": -559.6,
+            "note": (
+                "logZ agreement across ensemble sizes and backends is the "
+                "correctness cross-check (same estimator, different N and "
+                "hardware; statistical agreement expected at the ~1-2 unit "
+                "level for this 100-D target)."
+            ),
+        },
+        "at_spec_memory_budget": {
+            "n_particles": 1 << 20,
+            "history_slots": 192,
+            "history_bytes_per_particle_slot": (2 * N_DIM + 2) * 4,
+            "history_total_gib": round((2 * N_DIM + 2) * 4 * 192 * (1 << 20) / 2**30, 1),
+            "v5e_hbm_gib": 16,
+            "min_chips_history_only": int(
+                np.ceil((2 * N_DIM + 2) * 4 * 192 * (1 << 20) / 2**30 / 12.0)
+            ),
+            "note": (
+                "~12 GiB usable per chip after temporaries; the particle-axis "
+                "mesh sharding (parallel/mesh.py) splits every history leaf "
+                "over N, so the per-chip share at 16 chips is ~9.5 GiB — the "
+                "validated dryrun_multichip program IS this run at scale."
+            ),
+        },
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results", "config5_tpu_complete.json"
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(json.dumps(out["result"]))
+
+
+if __name__ == "__main__":
+    main()
