@@ -56,6 +56,15 @@ def main():
     p.add_argument("--n-total", type=int, default=8192)
     p.add_argument("--seed", type=int, default=5)
     p.add_argument("--hardware-prng", action="store_true")
+    p.add_argument(
+        "--host-loop", action="store_true",
+        help="per-iteration dispatch (on_device=False): the whole-run "
+        "program's run-level while loop makes XLA materialize two "
+        "layout-transposed temp copies of the full (d,T,N) history u "
+        "(~8 GiB at N=49152 — the compile OOM), which the smaller "
+        "per-iteration program avoids; ~35 ms/iteration tunnel overhead "
+        "is noise against these iteration walls.",
+    )
     args = p.parse_args()
 
     from tempest_tpu import Sampler
@@ -77,7 +86,7 @@ def main():
         hardware_prng=args.hardware_prng,
     )
     t0 = time.time()
-    s.run(n_total=args.n_total, progress=False, on_device=True)
+    s.run(n_total=args.n_total, progress=False, on_device=not args.host_loop)
     _ = float(jnp.sum(s.state.cur.logl))
     wall = time.time() - t0
 
@@ -104,6 +113,7 @@ def main():
             "n_total": args.n_total,
             "random_state": args.seed,
             "hardware_prng": bool(args.hardware_prng),
+            "on_device": not args.host_loop,
             "device": str(jax.devices()[0]),
         },
         "result": {

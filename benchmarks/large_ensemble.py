@@ -42,6 +42,12 @@ def main():
     p.add_argument("--train-max-points", type=int, default=8192)
     p.add_argument("--json", default="benchmarks/results/large_ensemble_tpu.json")
     p.add_argument(
+        "--hardware-prng", action="store_true",
+        help="draw mutation randomness from the TPU hardware PRNG "
+        "(config.hardware_prng; different, statistically equivalent RNG "
+        "stream — measured 2.5x end-to-end at N=2^17, hw_prng_e2e.json)",
+    )
+    p.add_argument(
         "--whole-run-fused", action="store_true",
         help="dispatch the entire annealing as ONE device program. Since "
         "round 4 the fused programs donate (hist, cur), so the whole-run "
@@ -69,6 +75,7 @@ def main():
             random_state=seed,
             history_capacity=args.capacity,
             train_max_points=args.train_max_points,
+            hardware_prng=args.hardware_prng,
         )
 
     report = {
@@ -86,6 +93,7 @@ def main():
             "clustering": True,
             "history_capacity": args.capacity,
             "train_max_points": args.train_max_points,
+            "hardware_prng": bool(args.hardware_prng),
             "device": jax.devices()[0].device_kind,
             "history_logical_gb": round(
                 2 * bench.N_DIM * args.capacity * args.n * 4 / 2**30, 2
