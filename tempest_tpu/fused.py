@@ -119,7 +119,9 @@ def _make_iteration_fn(
             )
             if m_cap and m_cap < S:
                 w_fit, idx = jax.lax.top_k(w_trim, m_cap)
-                u_fit = hist.u[:, idx // N, idx % N].T
+                # Flattened single-axis gather (see state.gather_history:
+                # the 2-axis form costs full-history transposed copies).
+                u_fit = hist.u.reshape(cfg.n_dim, -1)[:, idx].T
                 keep_fit = w_fit > 0.0
             else:
                 u_fit = hist.u.reshape(cfg.n_dim, -1).T

@@ -218,8 +218,18 @@ def volume_variation_dtn(
     cov = jnp.where(rank < d, cov + jnp.eye(d, dtype=u.dtype) * reg, cov)
 
     cov_inv = jnp.linalg.inv(cov)
-    # d2[t,n] = uc[:,t,n]^T cov_inv uc[:,t,n]
-    d2 = jnp.einsum("dtn,de,etn->tn", uc, cov_inv, uc)
+    # d2[t,n] = uc[:,t,n]^T cov_inv uc[:,t,n].
+    # Decomposed EXPLICITLY (matmul over the major d axis, then an
+    # elementwise reduce) instead of a single three-operand einsum: left
+    # to its own devices XLA:TPU lowers the latter through a sample-major
+    # ((S, d)-layout) contraction and materializes layout-transposed
+    # copies of the ENTIRE history inside the surrounding program —
+    # measured as two ~4 GiB remat copies of (100, 192, 49152) u, the
+    # compile-OOM that capped the whole-run fused path at large N x d.
+    # This form keeps every operand in the native (d, T, N) S-minor
+    # layout.
+    a = jnp.einsum("de,dtn->etn", cov_inv, uc)
+    d2 = jnp.einsum("etn,etn->tn", a, uc)
     deviation = jnp.clip(d2 - d, -1e6, 1e6)
     cv = 0.5 * jnp.sqrt(_psum(jnp.sum(w * w * deviation * deviation), axis_name))
 

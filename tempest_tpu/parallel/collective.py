@@ -125,10 +125,11 @@ def sharded_resample(
         t_idx, n_idx = li // N_loc, li % N_loc
 
         def take(arr_dtn):  # (B, T, N_loc) -> (n_active, B) masked partial
-            vals = arr_dtn[:, t_idx, n_idx].T
+            # Flattened single-axis gather (see state.gather_history).
+            vals = arr_dtn.reshape(arr_dtn.shape[0], -1)[:, li].T
             return jnp.where(claimed[:, None], vals, 0.0)
 
-        logl_p = jnp.where(claimed, logl_loc[t_idx, n_idx], 0.0)
+        logl_p = jnp.where(claimed, logl_loc.reshape(-1)[li], 0.0)
         out = [
             jax.lax.psum_scatter(take(u_loc), axis, scatter_dimension=0, tiled=True),
             jax.lax.psum_scatter(take(x_loc), axis, scatter_dimension=0, tiled=True),
@@ -207,7 +208,7 @@ def sharded_select_fit_points(
 
         vals, li = jax.lax.top_k(w_flat, k_loc)
         t_idx, n_idx = li // N_loc, li % N_loc
-        rows = u_loc[:, t_idx, n_idx].T  # (k_loc, d)
+        rows = u_loc.reshape(d, -1)[:, li].T  # (k_loc, d)
         gidx = t_idx * N + me * N_loc + n_idx  # canonical flat sample index
 
         all_vals = jax.lax.all_gather(vals, axis).reshape(-1)  # (C,)

@@ -128,10 +128,23 @@ def gather_history(
     gather in parallel/collective.py instead (an all-to-all-sized psum
     rather than a full-history all-gather).
     """
-    u = hist.u[:, t_idx, n_idx].T  # (k, d)
-    x = hist.x[:, t_idx, n_idx].T
-    logl = hist.logl[t_idx, n_idx]
-    blobs = None if hist.blobs is None else hist.blobs[:, t_idx, n_idx].T
+    # Flattened single-axis gather instead of a 2-axis advanced index:
+    # the (t, n) form lowers to a general 2-vector gather for which
+    # XLA:TPU's layout assignment materializes layout-transposed copies of
+    # the FULL history inside the whole-run program (measured: two ~4 GiB
+    # remat copies of (100, 192, 49152) u — the compile-OOM at large N x d).
+    # A 1-D gather along the flattened minor axis keeps the operand in its
+    # native (d, T, N) layout. reshape is free (contiguous).
+    s_idx = t_idx * hist.u.shape[2] + n_idx
+    d = hist.u.shape[0]
+    u = hist.u.reshape(d, -1)[:, s_idx].T  # (k, d)
+    x = hist.x.reshape(d, -1)[:, s_idx].T
+    logl = hist.logl.reshape(-1)[s_idx]
+    blobs = (
+        None
+        if hist.blobs is None
+        else hist.blobs.reshape(hist.blobs.shape[0], -1)[:, s_idx].T
+    )
     return u, x, logl, blobs
 
 

@@ -100,7 +100,10 @@ class Trainer:
         m_cap = self.train_max_points
         if m_cap and m_cap < S:
             w_fit, idx = jax.lax.top_k(w_trim, m_cap)
-            u_fit = hist.u[:, idx // N, idx % N].T
+            # Flattened single-axis gather — the (t, n) 2-axis form makes
+            # XLA:TPU materialize layout-transposed full-history copies
+            # (see state.gather_history).
+            u_fit = hist.u.reshape(self.n_dim, -1)[:, idx].T
             keep_fit = w_fit > 0.0
         else:
             u_fit = hist.u.reshape(self.n_dim, -1).T  # (S, d)
