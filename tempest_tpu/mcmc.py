@@ -37,7 +37,13 @@ import jax.numpy as jnp
 
 from .modes import ModeStatistics
 from .ops.boundary import apply_boundary_conditions, check_bounds
-from .ops.pallas_prng import hw_gamma, hw_normal, hw_prng_supported
+from .ops.pallas_prng import (
+    fused_draws_supported,
+    hw_gamma,
+    hw_mutation_draws,
+    hw_normal,
+    hw_prng_supported,
+)
 
 # hardware_prng size gates (measured, benchmarks/results/mutation_roofline.json):
 # below these the hardware path is at or above the threefry cost because
@@ -159,7 +165,7 @@ def make_mcmc_kernel(
     sigma_cap = jnp.minimum(sigma_0, 0.99)
     is_tpcn = method == "tpcn"
 
-    def propose(key, u, diff, mu, mode_step, sigma_w, scale_w):
+    def propose(key, u, diff, mu, mode_step, sigma_w, scale_w, z_pre=None):
         """Multi-candidate proposal; returns (proposal, valid) per walker.
 
         The reference redraws each out-of-bounds walker until it lands in
@@ -175,7 +181,10 @@ def make_mcmc_kernel(
         """
         R = n_candidates
         n_elems = R * u.shape[0] * u.shape[1]
-        if hardware_prng and hw_prng_supported(u.dtype) and n_elems >= _HW_NORMAL_MIN_ELEMS:
+        if z_pre is not None:
+            # Pre-drawn by the fused single-launch hardware kernel.
+            z = z_pre
+        elif hardware_prng and hw_prng_supported(u.dtype) and n_elems >= _HW_NORMAL_MIN_ELEMS:
             # Hardware-PRNG draws (different, equally valid RNG stream —
             # see config.hardware_prng); 2.1x faster than threefry at
             # large N (ops/pallas_prng.py). Size-gated: below ~1M draws
@@ -252,6 +261,22 @@ def make_mcmc_kernel(
         n_steps_min = jnp.asarray(n_steps * n_dim, dtype)
         n_steps_cap = jnp.asarray(n_max_steps * n_dim, dtype)
 
+        # Fused single-launch hardware draws: at flagship-scale walker
+        # counts the step is launch-latency bound and XLA's threefry gamma
+        # alone is ~31 us of the ~75 us step; ONE Pallas kernel drawing
+        # the proposal normals + Marsaglia-Tsang gammas + acceptance
+        # uniforms measures 2.0 us vs 30.9 us for the threefry chain
+        # (same flagship shapes). Gated to tpCN (the gamma consumer), the
+        # hardware_prng flag (different, equally valid RNG stream), and
+        # sizes whose z block fits scoped VMEM.
+        use_fused_draws = (
+            hardware_prng
+            and is_tpcn
+            and fused_draws_supported(
+                n_candidates * n_walkers * n_dim, n_walkers, dtype
+            )
+        )
+
         def cond(carry):
             return ~carry["done"]
 
@@ -265,12 +290,17 @@ def make_mcmc_kernel(
 
             sigma_w = sigmas[assignments]
             diff = u - mu
+            z_pre = u_acc = None
             if is_tpcn:
                 # inverse-gamma mixture scale per walker (mcmc.py:233-236)
                 dot = quad(diff)
                 g_shape = (n_dim + dof_w) / 2.0
                 g_scale = 2.0 / (dof_w + dot)
-                if (
+                if use_fused_draws:
+                    z_pre, g, u_acc = hw_mutation_draws(
+                        k_g, g_shape, (n_candidates,) + u.shape, dtype=dtype
+                    )
+                elif (
                     hardware_prng
                     and hw_prng_supported(dtype)
                     and n_walkers >= _HW_GAMMA_MIN_WALKERS
@@ -290,7 +320,7 @@ def make_mcmc_kernel(
                 scale_w = jnp.ones_like(logl)
 
             u_prime, valid = propose(
-                k_p, u, diff, mu, mode_step, sigma_w, scale_w
+                k_p, u, diff, mu, mode_step, sigma_w, scale_w, z_pre=z_pre
             )
             x_prime = prior_transform_batch(u_prime)
             logl_prime, blobs_prime = log_likelihood_batch(x_prime)
@@ -312,7 +342,10 @@ def make_mcmc_kernel(
             alpha = jnp.nan_to_num(alpha, nan=0.0)
             alpha = jnp.where(valid, alpha, 0.0)
 
-            accept = jax.random.uniform(k_a, (n_walkers,), dtype=dtype) < alpha
+            if u_acc is not None:
+                accept = u_acc < alpha
+            else:
+                accept = jax.random.uniform(k_a, (n_walkers,), dtype=dtype) < alpha
             u = jnp.where(accept[:, None], u_prime, u)
             x = jnp.where(accept[:, None], x_prime, x)
             logl = jnp.where(accept, logl_prime, logl)

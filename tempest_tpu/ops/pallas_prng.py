@@ -147,6 +147,131 @@ def hw_uniform(key, shape, dtype=jnp.float32):
     return _unit_open_closed(bits).reshape(shape).astype(dtype)
 
 
+def _unit_pl(bits):
+    """In-kernel (0, 1] unit mapping (pltpu.bitcast variant)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return 2.0 - pltpu.bitcast(
+        jnp.uint32(0x3F800000) | (bits >> jnp.uint32(9)), jnp.float32
+    )
+
+
+def _mutation_draws_kernel(seed_ref, alpha_ref, z_ref, g_ref, u_ref):
+    """ALL of one MCMC step's randomness in ONE kernel launch.
+
+    At flagship walker counts the step is launch-latency bound: XLA's
+    threefry gamma alone measures ~31 us of the ~75 us step, and the
+    separate hw_normal/hw_gamma path costs ~13 launches. This kernel
+    draws the (R*N*d) proposal normals (paired Box-Muller), the (N,)
+    Marsaglia-Tsang gamma mixture scales (alpha >= 1 via the boost), and
+    the (N,) acceptance uniforms from one PRNG seeding, entirely in VMEM.
+    Single-instance (no grid): callers gate it to sizes that fit VMEM.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(seed_ref[0], seed_ref[1])
+
+    # --- proposal normals: paired Box-Muller over half-blocks ----------
+    h = z_ref.shape[0] // 2
+    b1 = pltpu.bitcast(pltpu.prng_random_bits((h, _LANES)), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits((h, _LANES)), jnp.uint32)
+    u1 = _unit_pl(b1)
+    u2 = _unit_pl(b2)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = jnp.float32(_TWO_PI) * u2
+    z_ref[:h] = r * jnp.cos(theta)
+    z_ref[h:] = r * jnp.sin(theta)
+
+    # --- gamma(alpha) via Marsaglia-Tsang, unrolled rounds -------------
+    ashape = alpha_ref.shape
+    alpha = alpha_ref[:]
+    boost = alpha < 1.0
+    a_eff = jnp.where(boost, alpha + 1.0, alpha)
+    d = a_eff - 1.0 / 3.0
+    c = 1.0 / jnp.sqrt(9.0 * d)
+    res = d
+    accepted = jnp.zeros(ashape, dtype=jnp.bool_)
+    for _ in range(_MT_ROUNDS):
+        gb1 = pltpu.bitcast(pltpu.prng_random_bits(ashape), jnp.uint32)
+        gb2 = pltpu.bitcast(pltpu.prng_random_bits(ashape), jnp.uint32)
+        gbu = pltpu.bitcast(pltpu.prng_random_bits(ashape), jnp.uint32)
+        gu1 = _unit_pl(gb1)
+        gu2 = _unit_pl(gb2)
+        zn = jnp.sqrt(-2.0 * jnp.log(gu1)) * jnp.cos(jnp.float32(_TWO_PI) * gu2)
+        uacc = _unit_pl(gbu)
+        one_cz = 1.0 + c * zn
+        v = one_cz * one_cz * one_cz
+        ok = (v > 0.0) & (
+            jnp.log(uacc)
+            < 0.5 * zn * zn + d - d * v + d * jnp.log(jnp.maximum(v, 1e-30))
+        )
+        take = ok & ~accepted
+        res = jnp.where(take, d * v, res)
+        accepted = accepted | ok
+    ub = _unit_pl(pltpu.bitcast(pltpu.prng_random_bits(ashape), jnp.uint32))
+    g_ref[:] = res * jnp.where(
+        boost, ub ** (1.0 / jnp.maximum(alpha, 1e-12)), 1.0
+    )
+
+    # --- acceptance uniforms ------------------------------------------
+    u_ref[:] = _unit_pl(
+        pltpu.bitcast(pltpu.prng_random_bits(u_ref.shape), jnp.uint32)
+    )
+
+
+# VMEM budget for the single-instance fused kernel: z out + 2x bits
+# temporaries at 4 B each, plus the small gamma/uniform arrays — measured:
+# 1.3M z-elems needs 19.9 MB scoped VMEM (> the 16 MB limit), 2^19 fits
+# with ~2x headroom. Above this the separate gridded kernels take over.
+_FUSED_DRAWS_MAX_ELEMS = 1 << 19
+
+
+def fused_draws_supported(n_z_elems: int, n_walkers: int, dtype) -> bool:
+    """Gate for the single-launch mutation-draw kernel."""
+    if not hw_prng_supported(dtype):
+        return False
+    if n_z_elems % (2 * _LANES) != 0 or n_walkers % _LANES != 0:
+        return False
+    return n_z_elems <= _FUSED_DRAWS_MAX_ELEMS
+
+
+def hw_mutation_draws(key, alpha, z_shape, dtype=jnp.float32):
+    """(z, gamma, accept_uniform) for one MCMC step in ONE kernel launch.
+
+    z_shape: (R, N, d) proposal-normal shape; alpha: (N,) gamma shapes.
+    Caller gates via `fused_draws_supported(R*N*d, N, dtype)`.
+    """
+    import numpy as _np
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    total = int(_np.prod(z_shape))
+    n = alpha.shape[0]
+    z, g, u = pl.pallas_call(
+        _mutation_draws_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((total // _LANES, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n // _LANES, _LANES), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+    )(_seed_words(key), alpha.reshape(n // _LANES, _LANES).astype(jnp.float32))
+    return (
+        z.reshape(z_shape).astype(dtype),
+        g.reshape(n).astype(dtype),
+        u.reshape(n).astype(dtype),
+    )
+
+
 def hw_gamma(key, alpha, dtype=jnp.float32):
     """gamma(alpha, 1) draws via Marsaglia-Tsang on hardware-PRNG entropy.
 

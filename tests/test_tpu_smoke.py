@@ -157,6 +157,37 @@ def test_hw_prng_statistics():
         assert abs(g.var() - a) < 0.05 * a + 0.02
 
 
+def test_hw_fused_mutation_draws():
+    """Single-launch fused draw kernel (normals + MT gamma + uniforms):
+    statistics of all three outputs at the flagship shapes."""
+    from tempest_tpu.ops.pallas_prng import fused_draws_supported, hw_mutation_draws
+
+    R, N, d = 8, 1024, 10
+    assert fused_draws_supported(R * N * d, N, jnp.float32)
+    alpha = jnp.concatenate(
+        [jnp.full((N // 2,), 7.5), jnp.full((N // 2,), 0.7)]
+    ).astype(jnp.float32)
+    zs, gs, us = [], [], []
+    for s in range(32):  # aggregate draws for tight moments
+        z, g, u = hw_mutation_draws(jax.random.key(s), alpha, (R, N, d))
+        zs.append(np.asarray(z).ravel())
+        gs.append(np.asarray(g))
+        us.append(np.asarray(u))
+    z = np.concatenate(zs)
+    g = np.stack(gs)
+    u = np.concatenate(us)
+    assert abs(z.mean()) < 0.005 and abs(z.var() - 1.0) < 0.01
+    kurt = ((z - z.mean()) ** 4).mean() / z.var() ** 2
+    assert abs(kurt - 3.0) < 0.05
+    assert 0.0 < u.min() and u.max() <= 1.0
+    assert abs(u.mean() - 0.5) < 0.01
+    g_hi = g[:, : N // 2].ravel()  # alpha = 7.5
+    g_lo = g[:, N // 2 :].ravel()  # alpha = 0.7 (boost path)
+    assert g_lo.min() > 0.0
+    assert abs(g_hi.mean() - 7.5) < 0.1 and abs(g_hi.var() - 7.5) < 0.3
+    assert abs(g_lo.mean() - 0.7) < 0.03 and abs(g_lo.var() - 0.7) < 0.05
+
+
 def test_hw_prng_e2e_statistical_equivalence():
     """A full clustered annealing with hardware_prng=True completes with
     correct evidence. (At smoke-test walker counts the mcmc size gates
