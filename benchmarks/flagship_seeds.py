@@ -34,7 +34,7 @@ import numpy as np
 import bench  # canonical problem definition (prior/likelihood/sizes)
 
 
-def run_series(clustering: bool, seeds):
+def run_series(clustering: bool, seeds, hardware_prng: bool = False):
     from tempest_tpu import Sampler
     from tempest_tpu.ops.tools import ess_from_logw
     from tempest_tpu.state import compute_logw_and_logz
@@ -48,6 +48,7 @@ def run_series(clustering: bool, seeds):
         clustering=clustering,
         random_state=7,
         history_capacity=bench.HISTORY_CAPACITY,
+        hardware_prng=hardware_prng,
     )
     # compile with a short same-shape run
     s.run(n_total=512, progress=False, on_device=True)
@@ -162,6 +163,10 @@ def main():
         },
         "canonical_clustered": run_series(True, seeds),
         "secondary_unimodal": run_series(False, seeds),
+        # Opt-in hardware-PRNG stream (fused single-launch draw kernel at
+        # these shapes): different, statistically equivalent randomness —
+        # reported as its own series, never mixed into the canonical one.
+        "clustered_hardware_prng": run_series(True, seeds, hardware_prng=True),
     }
     out_path.write_text(json.dumps(result, indent=2) + "\n")
     print(json.dumps({k: v for k, v in result["canonical_clustered"].items() if k != "runs"}))
