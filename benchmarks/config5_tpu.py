@@ -58,12 +58,13 @@ def main():
     p.add_argument("--hardware-prng", action="store_true")
     p.add_argument(
         "--host-loop", action="store_true",
-        help="per-iteration dispatch (on_device=False): the whole-run "
-        "program's run-level while loop makes XLA materialize two "
-        "layout-transposed temp copies of the full (d,T,N) history u "
-        "(~8 GiB at N=49152 — the compile OOM), which the smaller "
-        "per-iteration program avoids; ~35 ms/iteration tunnel overhead "
-        "is noise against these iteration walls.",
+        help="per-iteration dispatch (on_device=False) fallback. The "
+        "whole-run program's historical compile-OOM here (layout "
+        "assignment carrying the history through the while loop in "
+        "permuted d-minor layouts, with full-history transpose copies) "
+        "is fixed by fused._pin_history_layouts, so the default is now "
+        "the fused on-device path; keep this flag for A/B and as an "
+        "escape hatch on other toolchains.",
     )
     args = p.parse_args()
 
@@ -129,6 +130,8 @@ def main():
             "cpu_mesh_sharded_n4096_logz": -561.37,
             "cpu_unsharded_n4096_logz": -561.99,
             "suite_n2048_logz": -559.6,
+            "host_loop_n49152_logz": -560.901,
+            "host_loop_n49152_wall_s": 812.9,
             "note": (
                 "logZ agreement across ensemble sizes and backends is the "
                 "correctness cross-check (same estimator, different N and "

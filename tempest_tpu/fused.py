@@ -250,6 +250,38 @@ def _make_iteration_fn(
     return iteration
 
 
+def _pin_history_layouts(hist: History, config: SamplerConfig) -> History:
+    """Pin the big history leaves to the default (d-major, N-minor) layout.
+
+    On TPU, layout assignment for the whole-run program chooses PERMUTED
+    layouts for the loop-carried history coordinates — measured at 100-D x
+    cap 192: u carried as {2,0,1} and x as {0,2,1} (d-minor, lane-padded
+    100->128, 1.28x bytes) — inserting full-history transpose copies
+    between the entry buffers and the while-loop carry. Those copies (a)
+    defeat the donation aliasing that keeps ONE resident history and (b)
+    add two full-history temporaries in permuted layouts, which is what
+    pushed the N=49152 x cap192 compile to 19.87G vs 15.75G HBM (round-5
+    open item). Constraining the carried values to the default layout
+    keeps carry == entry == output layouts, so donation aliases straight
+    through the loop. Gated to TPU: the CPU backend (test mesh) has no
+    layout assignment worth fighting, and constraint support there is
+    spotty.
+    """
+    if jax.default_backend() != "tpu":
+        return hist
+    from jax.experimental.layout import Layout, with_layout_constraint
+
+    def pin(a):
+        return with_layout_constraint(
+            a, Layout(major_to_minor=tuple(range(a.ndim)))
+        )
+
+    repl = dict(u=pin(hist.u), x=pin(hist.x))
+    if hist.blobs is not None:
+        repl["blobs"] = pin(hist.blobs)
+    return hist.replace(**repl)
+
+
 def _donation_enabled(config: SamplerConfig) -> bool:
     """Donate (hist, cur) into the fused programs?
 
@@ -387,10 +419,10 @@ def make_fused_run(
             key, hist, cur, model, fitted = c
             key, k = jax.random.split(key)
             hist, cur, model, fitted = iteration(k, hist, cur, model, fitted)
-            return key, hist, cur, model, fitted
+            return key, _pin_history_layouts(hist, cfg), cur, model, fitted
 
         key, hist, cur, model, fitted = jax.lax.while_loop(
-            cond, body, (key, hist, cur, model, fitted)
+            cond, body, (key, _pin_history_layouts(hist, cfg), cur, model, fitted)
         )
 
         # Final evidence at beta=1 over the full history (core.py:148-151)
