@@ -57,6 +57,13 @@ def main():
     p.add_argument("--seed", type=int, default=5)
     p.add_argument("--hardware-prng", action="store_true")
     p.add_argument(
+        "--train-max-points", type=int, default=None,
+        help="fit-subset cap (config.train_max_points). At N=2^16 x "
+        "cap 192 the default 4N leaves the whole-run program 42.7 MB "
+        "over HBM; 2N shaves the fit-gather/top-k temporaries under the "
+        "bar (and is the measured-safe subset cap, CLAUDE.md round 4).",
+    )
+    p.add_argument(
         "--host-loop", action="store_true",
         help="per-iteration dispatch (on_device=False) fallback. The "
         "whole-run program's historical compile-OOM here (layout "
@@ -85,6 +92,7 @@ def main():
         random_state=args.seed,
         history_capacity=args.capacity,
         hardware_prng=args.hardware_prng,
+        train_max_points=args.train_max_points,
     )
     t0 = time.time()
     s.run(n_total=args.n_total, progress=False, on_device=not args.host_loop)
@@ -114,6 +122,7 @@ def main():
             "n_total": args.n_total,
             "random_state": args.seed,
             "hardware_prng": bool(args.hardware_prng),
+            "train_max_points": args.train_max_points,
             "on_device": not args.host_loop,
             "device": str(jax.devices()[0]),
         },

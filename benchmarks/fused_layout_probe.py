@@ -54,6 +54,7 @@ def main():
     p.add_argument("--n", type=int, default=4096)
     p.add_argument("--capacity", type=int, default=192)
     p.add_argument("--seed", type=int, default=5)
+    p.add_argument("--train-max-points", type=int, default=None)
     p.add_argument(
         "--program",
         choices=("run", "iter"),
@@ -81,6 +82,7 @@ def main():
         clustering=False,
         random_state=args.seed,
         history_capacity=args.capacity,
+        train_max_points=args.train_max_points,
     )
     core = s.state
     if args.program == "run":
