@@ -48,15 +48,19 @@ def main():
         "stream — measured 2.5x end-to-end at N=2^17, hw_prng_e2e.json)",
     )
     p.add_argument(
-        "--whole-run-fused", action="store_true",
-        help="dispatch the entire annealing as ONE device program. Since "
-        "round 4 the fused programs donate (hist, cur), so the whole-run "
-        "path holds a single live history copy and is validated bit-exact "
-        "against the host loop at N=2^19 x capacity 48 "
-        "(benchmarks/fused_run_validation.py). The host loop remains the "
-        "default here only because the ~35 ms/iteration tunnel overhead "
-        "is noise against multi-second iterations at this scale and its "
-        "per-iteration records aid monitoring.",
+        "--whole-run-fused", dest="whole_run_fused", action="store_true",
+        default=True,
+        help="dispatch the entire annealing as ONE device program "
+        "(default). Donated buffers keep a single live history copy; "
+        "bit-exact vs the host loop (fused_run_validation.py). At "
+        "multi-GiB state this is ~1.9x the host loop end-to-end: each "
+        "host-loop dispatch pays seconds of relay value-shipping "
+        "(1M hwprng steady state 372 s host loop vs 200 s fused).",
+    )
+    p.add_argument(
+        "--host-loop", dest="whole_run_fused", action="store_false",
+        help="per-iteration dispatch fallback (on_device=False); keeps "
+        "per-iteration records for monitoring.",
     )
     args = p.parse_args()
 

@@ -123,6 +123,61 @@ def test_history_layout_physical_bytes():
     assert phys <= 2 * logical, f"physical {phys} vs logical {logical}"
 
 
+def test_fused_run_carry_layout_memory():
+    """The whole-run program must not re-layout the loop-carried history.
+
+    Round-5 regression guard: without fused._pin_history_layouts, TPU
+    layout assignment carries hist.u/hist.x through the run-level
+    while_loop in permuted d-minor layouts, materializing full-history
+    transpose copies (temps ~2.4x args at 100-D; the N=49152 x cap192
+    compile-OOM). With the pin, temps at this shape measure ~0.68x args
+    (one rational d-minor gather-feeding copy remains). AOT-compiles
+    only — nothing executes.
+    """
+    from tempest_tpu import Sampler
+    from tempest_tpu.fused import make_fused_run
+
+    d = 100
+    s = Sampler(
+        lambda u: 20.0 * u - 10.0,
+        lambda x: -jnp.sum(x * x, axis=-1),
+        n_dim=d,
+        n_particles=2048,
+        vectorize=True,
+        clustering=False,
+        random_state=0,
+        history_capacity=192,
+    )
+    core = s.state
+    runner = make_fused_run(
+        core.config, core._loglike_batch, core._prior_batch, core.have_blobs
+    )
+    abstract = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+        (
+            core.key,
+            core.hist,
+            core.cur,
+            jnp.asarray(4096, jnp.int32),
+            core._fused_model,
+            core._fused_fitted,
+            jnp.asarray(192, jnp.int32),
+        ),
+    )
+    compiled = runner.lower(*abstract).compile()
+    mem = compiled.memory_analysis()
+    if mem is None:
+        pytest.skip("memory_analysis unavailable on this backend")
+    args_b = mem.argument_size_in_bytes
+    temps_b = mem.temp_size_in_bytes
+    # Donation must alias the full history through the program.
+    assert mem.alias_size_in_bytes >= 0.9 * args_b
+    # Pre-fix this ratio was ~2.4; post-fix ~0.68. 1.5 catches the
+    # return of a second full-history copy with margin for compiler
+    # drift.
+    assert temps_b <= 1.5 * args_b, f"temps {temps_b} vs args {args_b}"
+
+
 def test_hw_prng_statistics():
     """Hardware-PRNG draw kernels (ops/pallas_prng.py): moments of the
     paired Box-Muller normals, the (0,1] uniform mapping, and the
