@@ -250,7 +250,7 @@ def _make_iteration_fn(
     return iteration
 
 
-def _pin_history_layouts(hist: History, config: SamplerConfig) -> History:
+def _pin_history_layouts(hist: History) -> History:
     """Pin the big history leaves to the default (d-major, N-minor) layout.
 
     On TPU, layout assignment for the whole-run program chooses PERMUTED
@@ -267,7 +267,7 @@ def _pin_history_layouts(hist: History, config: SamplerConfig) -> History:
     layout assignment worth fighting, and constraint support there is
     spotty.
     """
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() not in ("tpu", "axon"):
         return hist
     from jax.experimental.layout import Layout, with_layout_constraint
 
@@ -419,10 +419,10 @@ def make_fused_run(
             key, hist, cur, model, fitted = c
             key, k = jax.random.split(key)
             hist, cur, model, fitted = iteration(k, hist, cur, model, fitted)
-            return key, _pin_history_layouts(hist, cfg), cur, model, fitted
+            return key, _pin_history_layouts(hist), cur, model, fitted
 
         key, hist, cur, model, fitted = jax.lax.while_loop(
-            cond, body, (key, _pin_history_layouts(hist, cfg), cur, model, fitted)
+            cond, body, (key, _pin_history_layouts(hist), cur, model, fitted)
         )
 
         # Final evidence at beta=1 over the full history (core.py:148-151)
