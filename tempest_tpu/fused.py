@@ -266,8 +266,18 @@ def _pin_history_layouts(hist: History) -> History:
     through the loop. Gated to TPU: the CPU backend (test mesh) has no
     layout assignment worth fighting, and constraint support there is
     spotty.
+
+    Escape hatch: set TEMPEST_TPU_NO_LAYOUT_PIN=1 to disable (the pin is
+    validated single-chip on this rig incl. under the virtual-mesh
+    equality tests, but real multi-chip TPU hardware was unavailable; if
+    a pod toolchain ever rejects the constraint, disabling costs only
+    the extra carried-copy memory, not correctness).
     """
+    import os
+
     if jax.default_backend() not in ("tpu", "axon"):
+        return hist
+    if os.environ.get("TEMPEST_TPU_NO_LAYOUT_PIN"):
         return hist
     from jax.experimental.layout import Layout, with_layout_constraint
 

@@ -65,6 +65,7 @@ class Sampler:
         leaf_fit_points: Optional[int] = None,
         on_device_dispatch_budget_s: Optional[float] = -1.0,
         hardware_prng: bool = False,
+        donate_state: bool = True,
     ):
         import jax.numpy as jnp
 
@@ -90,6 +91,12 @@ class Sampler:
             extra["leaf_fit_points"] = leaf_fit_points
         if hardware_prng:
             extra["hardware_prng"] = True
+        if not donate_state:
+            # Escape hatch for buffer-donation issues on untested
+            # backend/mesh combinations (docs/user_guide/
+            # parameter_selection_advanced.md); costs a second resident
+            # history copy in the fused programs.
+            extra["donate_state"] = False
         # Sentinel -1.0 = "use the config default"; None is a meaningful
         # user value here (disable chunking entirely). Any other negative
         # is a typo, not a request for the default.
